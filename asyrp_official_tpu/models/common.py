@@ -1,0 +1,212 @@
+"""NHWC neural-net primitives shared by the three UNet families.
+
+TPU-first conventions:
+  * tensors are NHWC (feature axis last = lane axis on TPU);
+  * conv kernels are HWIO (`jax.lax.conv_general_dilated` native layout);
+  * params are plain nested dicts (pytrees) — explicit, convertible from
+    torch state_dicts, shardable with NamedSharding.
+
+Parity notes vs the reference:
+  * DDPM++ timestep embedding: exponent /(half-1), concat(sin, cos)
+    (models/ddpm/diffusion.py:42-60).
+  * OpenAI (iDDPM/ADM) embedding: exponent /half, concat(cos, sin)
+    (models/improved_ddpm/nn.py:103-121). The two differ — both kept.
+  * GroupNorm: 32 groups; eps 1e-6 for DDPM++ (models/ddpm/diffusion.py:68),
+    eps 1e-5 computed in float32 for GroupNorm32
+    (models/improved_ddpm/nn.py:17-19).
+  * Downsample (DDPM++): asymmetric (0,1,0,1) pad then valid 3x3/s2 conv
+    (models/ddpm/diffusion.py:96-107).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# initialisers (torch-default-like; exact init parity is not required — torch
+# weights are converted, our init is used only for fresh Delta modules)
+# ---------------------------------------------------------------------------
+
+
+def _kaiming_uniform(key, shape, fan_in, a=math.sqrt(5)):
+    gain = math.sqrt(2.0 / (1 + a * a))
+    bound = gain * math.sqrt(3.0 / fan_in)
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def conv_init(key, kh, kw, cin, cout, zero=False):
+    """HWIO conv params; torch nn.Conv2d default init unless `zero`
+    (zero_module pattern, models/improved_ddpm/nn.py:68-74)."""
+    if zero:
+        return {
+            "w": jnp.zeros((kh, kw, cin, cout), jnp.float32),
+            "b": jnp.zeros((cout,), jnp.float32),
+        }
+    kw_, kb_ = jax.random.split(key)
+    fan_in = cin * kh * kw
+    bound = 1.0 / math.sqrt(fan_in)
+    return {
+        "w": _kaiming_uniform(kw_, (kh, kw, cin, cout), fan_in),
+        "b": jax.random.uniform(kb_, (cout,), jnp.float32, -bound, bound),
+    }
+
+
+def linear_init(key, cin, cout, zero=False):
+    if zero:
+        return {"w": jnp.zeros((cin, cout), jnp.float32), "b": jnp.zeros((cout,), jnp.float32)}
+    kw_, kb_ = jax.random.split(key)
+    bound = 1.0 / math.sqrt(cin)
+    return {
+        "w": _kaiming_uniform(kw_, (cin, cout), cin),
+        "b": jax.random.uniform(kb_, (cout,), jnp.float32, -bound, bound),
+    }
+
+
+def norm_init(ch):
+    return {"scale": jnp.ones((ch,), jnp.float32), "bias": jnp.zeros((ch,), jnp.float32)}
+
+
+# ---------------------------------------------------------------------------
+# layers
+# ---------------------------------------------------------------------------
+
+
+def conv2d(p, x, *, stride=1, padding="SAME"):
+    """NHWC conv with HWIO kernel."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + p["b"].astype(x.dtype)
+
+
+def linear(p, x):
+    return x @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def group_norm(p, x, *, groups=32, eps=1e-6, fp32=False):
+    """GroupNorm over the channel (last) axis of an NHWC tensor.
+
+    `fp32=True` reproduces GroupNorm32 — statistics and affine in float32,
+    result cast back (models/improved_ddpm/nn.py:17-19).
+    """
+    orig_dtype = x.dtype
+    if fp32:
+        x = x.astype(jnp.float32)
+    b, h, w, c = x.shape
+    g = groups
+    xg = x.reshape(b, h, w, g, c // g)
+    mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
+    var = jnp.var(xg, axis=(1, 2, 4), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    x = xg.reshape(b, h, w, c)
+    x = x * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
+    return x.astype(orig_dtype)
+
+
+def group_norm_1d(p, x, *, groups=32, eps=1e-5, fp32=True):
+    """GroupNorm over the channel axis of a [B, T, C] tensor (attention qkv
+    path of the OpenAI UNets operates on flattened spatial maps)."""
+    orig_dtype = x.dtype
+    if fp32:
+        x = x.astype(jnp.float32)
+    b, t, c = x.shape
+    g = groups
+    xg = x.reshape(b, t, g, c // g)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    var = jnp.var(xg, axis=(1, 3), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    x = xg.reshape(b, t, c)
+    x = x * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
+    return x.astype(orig_dtype)
+
+
+def timestep_embedding_ddpm(t, dim):
+    """DDPM++ sinusoidal embedding (models/ddpm/diffusion.py:42-60):
+    freq exponent /(half-1), concat(sin, cos)."""
+    half = dim // 2
+    emb = math.log(10000.0) / (half - 1)
+    freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -emb)
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def timestep_embedding_openai(t, dim, max_period=10000):
+    """OpenAI embedding (models/improved_ddpm/nn.py:103-121):
+    freq exponent /half, concat(cos, sin)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def upsample_nearest_2x(x):
+    """Nearest-neighbour 2x (torch F.interpolate(mode='nearest'))."""
+    b, h, w, c = x.shape
+    x = jnp.repeat(x, 2, axis=1)
+    x = jnp.repeat(x, 2, axis=2)
+    return x
+
+
+def downsample_pad_conv(p, x):
+    """DDPM++ Downsample: zero-pad right/bottom by 1, 3x3 stride-2 valid conv
+    (models/ddpm/diffusion.py:103-107)."""
+    x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    return conv2d(p, x, stride=2, padding="VALID")
+
+
+def avg_pool_2x(x):
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    ) * 0.25
+
+
+def spatial_attention(q, k, v, *, num_heads=1, legacy_scale=False):
+    """Spatial self-attention on flattened [B, T, C] maps.
+
+    DDPM++ flavor (models/ddpm/diffusion.py:200-225): single head, scale
+    c^-0.5 applied to logits. OpenAI flavor (…/unet.py:370-435): multi-head,
+    scale (c_head^-0.25) applied to q AND k (`legacy_scale=True` semantics
+    match both Legacy and new order math — they are algebraically equal).
+
+    Runs in float32 softmax (OpenAI casts weights to f32; DDPM++ is f32
+    throughout).
+    """
+    b, t, c = q.shape
+    hds = num_heads
+    ch = c // hds
+    q = q.reshape(b, t, hds, ch).transpose(0, 2, 1, 3)  # [B, H, T, ch]
+    k = k.reshape(b, t, hds, ch).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, hds, ch).transpose(0, 2, 1, 3)
+    if legacy_scale:
+        scale = 1.0 / math.sqrt(math.sqrt(ch))
+        logits = jnp.einsum(
+            "bhtc,bhsc->bhts", q * scale, k * scale,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        logits = jnp.einsum(
+            "bhtc,bhsc->bhts", q, k, preferred_element_type=jnp.float32
+        ) * (ch ** -0.5)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhts,bhsc->bhtc", w, v, preferred_element_type=jnp.float32)
+    return out.transpose(0, 2, 1, 3).reshape(b, t, c).astype(v.dtype)
