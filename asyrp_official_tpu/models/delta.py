@@ -1,0 +1,271 @@
+"""Delta modules — the only trainable state in Asyrp.
+
+Covers every edit-injection mode of the reference:
+
+  * DeltaBlock (the paper's implicit function f_t), DDPM++ flavor
+    (models/ddpm/diffusion.py:228-263) and OpenAI flavor
+    (models/improved_ddpm/unet.py:776-853, models/guided_diffusion/unet.py:779-856);
+  * DeltaBlock_global — CLIP-direction-conditioned variant
+    (models/ddpm/diffusion.py:266-323);
+  * directly-optimized per-timestep Δh tensors (`--train_delta_h`),
+    stored stacked as one [K, 8, 8, C] parameter instead of the reference's
+    dict of per-t Parameters (diffusion_latent.py:185-198);
+  * DiffStyle injection of an input Δh: norm-matched slerp, optionally
+    restricted to a spatial mask (models/ddpm/diffusion.py:519-539).
+
+`EditState` is a registered pytree so it can be closed over / carried by
+`jax.lax.scan` and differentiated (grads flow to `blocks` / `delta_rows`).
+The `use_delta` gate replaces the reference's `t[0] >= t_edit` branch
+(models/ddpm/diffusion.py:510): when 0, h2 = h and the edited decoder output
+equals the original — matching the reference, which also still runs the
+second decoder below t_edit (:540-542).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from asyrp_official_tpu.models import common as cm
+
+__all__ = [
+    "EditState",
+    "apply_edit",
+    "delta_block_init",
+    "delta_block_apply",
+    "delta_block_global_init",
+    "delta_block_global_apply",
+    "slerp",
+]
+
+
+# ---------------------------------------------------------------------------
+# DeltaBlock — DDPM++ flavor
+# ---------------------------------------------------------------------------
+
+
+def delta_block_init(key, ch: int, temb_ch: int, *, flavor: str = "ddpm"):
+    ks = jax.random.split(key, 4)
+    if flavor == "ddpm":
+        return {
+            "conv1": cm.linear_init(ks[0], ch, ch),
+            "temb_proj": cm.linear_init(ks[1], temb_ch, ch),
+            "norm2": cm.norm_init(ch),
+            "conv2": cm.linear_init(ks[2], ch, ch),
+        }
+    elif flavor == "openai":
+        return {
+            "in_norm": cm.norm_init(ch),
+            "in_conv": cm.linear_init(ks[0], ch, ch),
+            "emb": cm.linear_init(ks[1], temb_ch, ch),
+            "out_norm": cm.norm_init(ch),
+            "out_conv": cm.linear_init(ks[2], ch, ch),
+        }
+    raise ValueError(f"unknown DeltaBlock flavor: {flavor}")
+
+
+def _mat(p, x):
+    return jnp.einsum(
+        "bhwc,co->bhwo", x, p["w"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + p["b"].astype(x.dtype)
+
+
+def delta_block_apply(p, x, temb, *, flavor: str = "ddpm"):
+    """temb may be None (`--ignore_timesteps`, diffusion_latent.py:188,318)."""
+    if flavor == "ddpm":
+        # conv1 → (+ temb) → GN(1e-6) → swish → conv2  (diffusion.py:251-263)
+        h = _mat(p["conv1"], x)
+        if temb is not None:
+            h = h + cm.linear(p["temb_proj"], cm.swish(temb))[:, None, None, :]
+        h = cm.group_norm(p["norm2"], h, eps=1e-6)
+        h = cm.swish(h)
+        return _mat(p["conv2"], h)
+    elif flavor == "openai":
+        # GN32 → SiLU → conv1x1 → (+emb) → GN32 → SiLU → conv1x1
+        # (improved_ddpm/unet.py:837-853, non-scale-shift path)
+        h = cm.group_norm(p["in_norm"], x, eps=1e-5, fp32=True)
+        h = cm.swish(h)
+        h = _mat(p["in_conv"], h)
+        if temb is not None:
+            h = h + cm.linear(p["emb"], cm.swish(temb))[:, None, None, :]
+        h = cm.group_norm(p["out_norm"], h, eps=1e-5, fp32=True)
+        h = cm.swish(h)
+        return _mat(p["out_conv"], h)
+    raise ValueError(f"unknown DeltaBlock flavor: {flavor}")
+
+
+# ---------------------------------------------------------------------------
+# DeltaBlock_global — CLIP-conditioned (models/ddpm/diffusion.py:266-323)
+# ---------------------------------------------------------------------------
+
+
+def delta_block_global_init(key, ch: int, temb_ch: int, clip_ch: int = 512, hw: int = 8):
+    ks = jax.random.split(key, 8)
+    return {
+        "conv1": cm.conv_init(ks[0], 3, 3, ch, ch),
+        "temb_proj": cm.linear_init(ks[1], temb_ch, ch),
+        "clip_proj": cm.linear_init(ks[2], clip_ch, ch),
+        "clip_proj_2": cm.linear_init(ks[3], clip_ch, ch * hw * hw),
+        "norm2": cm.norm_init(ch),
+        "conv2": cm.linear_init(ks[4], ch, ch),
+        "norm3": cm.norm_init(ch),
+        "conv3": cm.linear_init(ks[5], ch, ch),
+        "norm4": cm.norm_init(ch),
+        "conv4": cm.linear_init(ks[6], ch, ch),
+    }
+
+
+def delta_block_global_apply(p, x, temb, clip_direction):
+    b, hh, ww, c = x.shape
+    h = cm.conv2d(p["conv1"], x)
+    h = (
+        h
+        + cm.linear(p["temb_proj"], cm.swish(temb))[:, None, None, :]
+        + cm.linear(p["clip_proj"], clip_direction)[:, None, None, :]
+    )
+    h = cm.group_norm(p["norm2"], h, eps=1e-6)
+    h = cm.swish(h)
+    h = _mat(p["conv2"], h)
+    clip_pro = cm.linear(p["clip_proj_2"], clip_direction).reshape(1, c, hh, ww)
+    # reference reshapes to NCHW (1, 512, 8, 8); transpose to our NHWC
+    h = h + jnp.transpose(clip_pro, (0, 2, 3, 1))
+    h = cm.group_norm(p["norm3"], h, eps=1e-6)
+    h = cm.swish(h)
+    h = _mat(p["conv3"], h)
+    h = cm.group_norm(p["norm4"], h, eps=1e-6)
+    h = cm.swish(h)
+    return _mat(p["conv4"], h)
+
+
+# ---------------------------------------------------------------------------
+# slerp (models/ddpm/diffusion.py:6-40) — batch spherical interpolation
+# ---------------------------------------------------------------------------
+
+
+def slerp(t, v0, v1):
+    b = v0.shape[0]
+    v0f = v0.reshape(b, -1)
+    v1f = v1.reshape(b, -1)
+    v0n = v0f / jnp.linalg.norm(v0f, axis=1, keepdims=True)
+    v1n = v1f / jnp.linalg.norm(v1f, axis=1, keepdims=True)
+    dot = jnp.sum(v0n * v1n, axis=1)
+    theta_0 = jnp.arccos(jnp.clip(dot, -1.0, 1.0))
+    sin_theta_0 = jnp.sin(theta_0)
+    theta_t = theta_0 * t
+    s0 = jnp.sin(theta_0 - theta_t) / sin_theta_0
+    s1 = jnp.sin(theta_t) / sin_theta_0
+    shape = (b,) + (1,) * (v0.ndim - 1)
+    return s0.reshape(shape) * v0 + s1.reshape(shape) * v1
+
+
+# ---------------------------------------------------------------------------
+# EditState — the per-forward edit specification
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class EditState:
+    """Edit injection state threaded through the UNet forward.
+
+    Data (traced) fields:
+      blocks: tuple of DeltaBlock param trees (k = get_h_num).
+      delta_rows: [K, h, w, C] stacked input Δh rows (train_delta_h /
+        DiffStyle), or None.
+      hs_coeff: [k+1] float coefficients (hs_coeff[0] scales original h).
+      use_delta: scalar — 1.0 when t >= t_edit this step.
+      delta_idx: scalar int — row of `delta_rows` for this step.
+      clip_direction: [B?, clip_ch] for the global block, or None.
+
+    Static fields:
+      mode: 'deltablock' | 'input' | 'global'.
+      flavor: DeltaBlock flavor ('ddpm' | 'openai').
+      ignore_timestep: drop temb conditioning (--ignore_timesteps).
+      use_mask: DiffStyle spatial-mask variant.
+      input_style: 'slerp' (main forward, models/ddpm/diffusion.py:519-539)
+        or 'add' (h2 = h·c0 + Δh·c1 — used when training Δh rows against the
+        additive semantics of forward_layer_check:633 and mean-of-Δh replay).
+    """
+
+    blocks: Tuple[Any, ...] = ()
+    delta_rows: Optional[jnp.ndarray] = None
+    hs_coeff: jnp.ndarray = None
+    use_delta: jnp.ndarray = 1.0
+    delta_idx: jnp.ndarray = 0
+    clip_direction: Optional[jnp.ndarray] = None
+    mode: str = "deltablock"
+    flavor: str = "ddpm"
+    ignore_timestep: bool = False
+    use_mask: bool = False
+    input_style: str = "slerp"
+
+    def at_step(self, aux) -> "EditState":
+        """Bind the per-step gate/index supplied by the sampler."""
+        return dataclasses.replace(
+            self, use_delta=aux["use_delta"], delta_idx=aux["delta_idx"]
+        )
+
+
+jax.tree_util.register_dataclass(
+    EditState,
+    data_fields=[
+        "blocks",
+        "delta_rows",
+        "hs_coeff",
+        "use_delta",
+        "delta_idx",
+        "clip_direction",
+    ],
+    meta_fields=["mode", "flavor", "ignore_timestep", "use_mask", "input_style"],
+)
+
+
+def apply_edit(edit: EditState, h: jnp.ndarray, temb: jnp.ndarray):
+    """Produce the edited bottleneck h2 (and the Δh used), gated by
+    `edit.use_delta` — the compiled form of `t[0] >= t_edit`
+    (models/ddpm/diffusion.py:507-542)."""
+    hs_coeff = (
+        edit.hs_coeff
+        if edit.hs_coeff is not None
+        else jnp.ones((len(edit.blocks) + 1,), h.dtype)
+    )
+    delta_h = None
+
+    if edit.mode == "deltablock":
+        temb_in = None if edit.ignore_timestep else temb
+        h2 = h * hs_coeff[0]
+        for i, bp in enumerate(edit.blocks):
+            delta_h = delta_block_apply(bp, h, temb_in, flavor=edit.flavor)
+            h2 = h2 + delta_h * hs_coeff[i + 1]
+    elif edit.mode == "input":
+        row = jnp.take(edit.delta_rows, edit.delta_idx, axis=0)
+        delta_h = jnp.broadcast_to(row[None], h.shape).astype(h.dtype)
+        if edit.input_style == "add":
+            h2 = h * hs_coeff[0] + delta_h * hs_coeff[1]
+        elif edit.use_mask:
+            # DiffStyle mask region (models/ddpm/diffusion.py:520-528);
+            # reference NCHW [:, :, 4:-1, 3:5] → NHWC [:, 4:-1, 3:5, :].
+            mask = jnp.zeros_like(h).at[:, 4:-1, 3:5, :].set(1.0)
+            partial = slerp(1.0 - hs_coeff[0], h * mask, delta_h * mask)
+            h2 = partial + (1.0 - mask) * h
+        else:
+            # norm-matched slerp (models/ddpm/diffusion.py:530-539)
+            b = h.shape[0]
+            h_norm = jnp.linalg.norm(h.reshape(b, -1), axis=1)
+            d_norm = jnp.linalg.norm(delta_h.reshape(b, -1), axis=1)
+            shape = (b,) + (1,) * (h.ndim - 1)
+            normalized = h_norm.reshape(shape) * delta_h / d_norm.reshape(shape)
+            h2 = slerp(1.0 - hs_coeff[0], h, normalized)
+    elif edit.mode == "global":
+        delta_h = delta_block_global_apply(
+            edit.blocks[0], h, temb, edit.clip_direction
+        )
+        h2 = h + delta_h
+    else:
+        raise ValueError(f"unknown edit mode: {edit.mode}")
+
+    use = jnp.asarray(edit.use_delta, h.dtype)
+    h2 = use * h2 + (1.0 - use) * h
+    return h2, delta_h
