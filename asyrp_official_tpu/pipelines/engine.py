@@ -1,0 +1,201 @@
+"""Jitted trajectory engines: inversion, generation, asymmetric editing.
+
+Each maker returns a `jax.jit`-compiled function taking (params, [edit,]
+batch, [rng]) so one compilation serves the whole run; the step schedule is
+baked in as scan constants (core/steptable.py). Mixed precision: the UNet
+can run in bfloat16 (`compute_dtype`) while the DDIM update and the scan
+carry stay float32 — on TPU this puts the conv/matmul FLOPs on the MXU's
+native dtype without degrading trajectory math.
+
+Reference call paths covered:
+  * `precompute_pairs` inversion + recon loops (diffusion_latent.py:1029-1070)
+  * `save_image` plain and edited generation (diffusion_latent.py:445-544)
+  * random-noise generation (diffusion_latent.py:1139-1155)
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from asyrp_official_tpu.core.sampler import sample_chain
+from asyrp_official_tpu.core.schedule import Schedule
+from asyrp_official_tpu.core.steptable import StepTable, generation_table, inversion_table
+from asyrp_official_tpu.models.delta import EditState
+from asyrp_official_tpu.models.registry import ModelSpec
+
+__all__ = ["make_invert", "make_generate", "make_edit_generate", "make_invert_with_h"]
+
+
+def _plain_eps(spec: ModelSpec, params, compute_dtype):
+    def eps_fn(x, t, aux):
+        xm = x.astype(compute_dtype)
+        eps, *_ = spec.apply(params, xm, t)
+        return eps.astype(jnp.float32), None
+
+    return eps_fn
+
+
+def _edited_eps(spec: ModelSpec, params, edit: EditState, compute_dtype):
+    def eps_fn(x, t, aux):
+        xm = x.astype(compute_dtype)
+        eps, eps_mod, _, _ = spec.apply(params, xm, t, edit=edit.at_step(aux))
+        return eps.astype(jnp.float32), (
+            eps_mod.astype(jnp.float32) if eps_mod is not None else None
+        )
+
+    return eps_fn
+
+
+def make_invert(
+    spec: ModelSpec,
+    schedule: Schedule,
+    seq,
+    *,
+    compute_dtype=jnp.float32,
+    collect: Tuple[str, ...] = (),
+) -> Callable:
+    """DDIM inversion x0 → xT over `seq` (ascending), jitted once.
+
+    Returns fn(params, x0) -> (x_lat, collected)."""
+    table = inversion_table(seq)
+
+    @jax.jit
+    def run(params, x0):
+        return sample_chain(
+            _plain_eps(spec, params, compute_dtype),
+            schedule,
+            table,
+            x0,
+            learn_sigma=spec.learn_sigma,
+            collect=collect,
+        )
+
+    return run
+
+
+def make_generate(
+    spec: ModelSpec,
+    schedule: Schedule,
+    seq,
+    *,
+    t_addnoise: int = -1,
+    sample_type: str = "ddim",
+    compute_dtype=jnp.float32,
+    collect: Tuple[str, ...] = (),
+) -> Callable:
+    """Plain (un-edited) generation xT → x0 (`save_x_origin` row,
+    diffusion_latent.py:468-491). Returns fn(params, x_lat, rng)."""
+    table = generation_table(seq, t_addnoise=t_addnoise)
+
+    @jax.jit
+    def run(params, x_lat, rng):
+        return sample_chain(
+            _plain_eps(spec, params, compute_dtype),
+            schedule,
+            table,
+            x_lat,
+            rng=rng,
+            sample_type=sample_type,
+            learn_sigma=spec.learn_sigma,
+            collect=collect,
+        )
+
+    return run
+
+
+def make_edit_generate(
+    spec: ModelSpec,
+    schedule: Schedule,
+    seq,
+    *,
+    t_edit: int,
+    t_addnoise: int = -1,
+    delta_times=None,
+    ignore_timesteps: bool = False,
+    sample_type: str = "ddim",
+    dt_lambda: float = 1.0,
+    dt_end: int = 999,
+    compute_dtype=jnp.float32,
+    collect: Tuple[str, ...] = (),
+) -> Callable:
+    """Asymmetric edited generation (diffusion_latent.py:499-534): Δ
+    injection for t >= t_edit, eta=1 quality boost for t < t_addnoise.
+
+    Returns fn(params, edit: EditState, x_lat, rng) -> (x, collected).
+    The EditState is a traced argument — coefficient sweeps
+    (delta-interpolation, diffusion_latent.py:726-755) and multi-attribute
+    mixing re-use ONE compilation by swapping hs_coeff / blocks."""
+    table = generation_table(
+        seq,
+        t_edit=t_edit,
+        t_addnoise=t_addnoise,
+        delta_times=delta_times,
+        ignore_timesteps=ignore_timesteps,
+    )
+
+    @jax.jit
+    def run(params, edit, x_lat, rng):
+        return sample_chain(
+            _edited_eps(spec, params, edit, compute_dtype),
+            schedule,
+            table,
+            x_lat,
+            rng=rng,
+            sample_type=sample_type,
+            learn_sigma=spec.learn_sigma,
+            dt_lambda=dt_lambda,
+            dt_end=dt_end,
+            collect=collect,
+        )
+
+    return run
+
+
+def make_invert_with_h(
+    spec: ModelSpec,
+    schedule: Schedule,
+    seq,
+    *,
+    compute_dtype=jnp.float32,
+) -> Callable:
+    """Inversion that also returns the per-step bottleneck h trajectory
+    (`precompute_pairs_with_h`, diffusion_latent.py:877-947) — used by
+    DiffStyle. Returns fn(params, x0) -> (x_lat, h_traj [S, B, h, w, C])."""
+    table = inversion_table(seq)
+
+    from asyrp_official_tpu.core.sampler import ScanArrays
+    from asyrp_official_tpu.core.ddim import ddim_step
+
+    @jax.jit
+    def run(params, x0):
+        # local scan variant that collects middle_h as a scan output
+
+        arrays = ScanArrays.from_table(table)
+        acp_ext = jnp.asarray(schedule.alphas_cumprod_ext)
+        bsz = x0.shape[0]
+
+        def body(x, per_step):
+            t_i, t_next_i, _, _, _, _ = per_step
+            t_b = jnp.full((bsz,), t_i, jnp.float32)
+            xm = x.astype(compute_dtype)
+            eps_raw, _, _, middle_h = spec.apply(params, xm, t_b)
+            if spec.learn_sigma:
+                c = eps_raw.shape[-1] // 2
+                eps_raw = eps_raw[..., :c]
+            eps = eps_raw.astype(jnp.float32)
+            at = acp_ext[t_i + 1]
+            at_next = acp_ext[t_next_i + 1]
+            x_next, _ = ddim_step(
+                x, eps, eps,
+                jnp.full((bsz,), at), jnp.full((bsz,), at_next),
+                0.0, jnp.zeros_like(x),
+            )
+            return x_next, middle_h.astype(jnp.float32)
+
+        x_lat, h_traj = jax.lax.scan(body, x0, arrays)
+        return x_lat, h_traj
+
+    return run

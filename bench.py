@@ -1,0 +1,113 @@
+"""Benchmark: UNet forward evals/sec/chip @ 256x256 on the flagship model
+(CelebA-HQ DDPM++, 113.7M params — the BASELINE.json primary metric).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline divides by the measured PyTorch-reference forward throughput
+(torch 2.x CPU, batch 1, this machine: 6.603 s/eval = 0.1514 evals/sec —
+measured 2026-08-16 with /root/reference models/ddpm DDPM on
+configs/celeba.yml; the reference publishes no numbers of its own,
+BASELINE.md).
+
+Extra detail (batch sweep, p50 invert+edit latency) goes to stderr so
+stdout stays a single JSON line.
+"""
+import json
+import os
+import sys
+import time
+
+REFERENCE_TORCH_CPU_EVALS_PER_SEC = 0.1514
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from asyrp_official_tpu.core.schedule import make_schedule, uniform_seq
+    from asyrp_official_tpu.models.delta import EditState, delta_block_init
+    from asyrp_official_tpu.models.registry import resolve
+    from asyrp_official_tpu.pipelines import engine
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}, backend: {jax.default_backend()}")
+
+    spec = resolve("CelebA_HQ")
+    params = spec.init(jax.random.PRNGKey(0))
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    log(f"flagship params: {n_params/1e6:.1f}M")
+
+    compute_dtype = jnp.bfloat16
+
+    @jax.jit
+    def fwd(params, x, t):
+        eps, *_ = spec.apply(params, x.astype(compute_dtype), t)
+        return eps
+
+    best = 0.0
+    best_bsz = 0
+    for bsz in (1, 4, 8):
+        x = jnp.asarray(np.random.RandomState(0).randn(bsz, 256, 256, 3), jnp.float32)
+        t = jnp.full((bsz,), 500.0, jnp.float32)
+        fwd(params, x, t).block_until_ready()  # compile + warmup
+        t0 = time.perf_counter()
+        iters = 10
+        for _ in range(iters):
+            out = fwd(params, x, t)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / iters
+        eps_s = bsz / dt
+        log(f"bsz={bsz}: {dt*1e3:.1f} ms/iter -> {eps_s:.2f} evals/sec")
+        if eps_s > best:
+            best, best_bsz = eps_s, bsz
+
+    # secondary: p50 40-step invert+edit latency per image (stderr only)
+    try:
+        sched = make_schedule()
+        seq = uniform_seq(40, 999)
+        block = delta_block_init(
+            jax.random.PRNGKey(1), spec.bottleneck_ch, spec.temb_ch
+        )
+        edit = EditState(blocks=(block,), hs_coeff=jnp.array([1.0, 1.0]))
+        invert = engine.make_invert(spec, sched, seq, compute_dtype=compute_dtype)
+        gen = engine.make_edit_generate(
+            spec, sched, seq, t_edit=516, t_addnoise=200,
+            compute_dtype=compute_dtype,
+        )
+        x = jnp.asarray(np.random.RandomState(1).randn(1, 256, 256, 3), jnp.float32)
+        x_lat, _ = invert(params, x)
+        out, _ = gen(params, edit, x_lat, jax.random.PRNGKey(0))
+        jax.block_until_ready(out)  # compile
+        lats = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            x_lat, _ = invert(params, x)
+            out, _ = gen(params, edit, x_lat, jax.random.PRNGKey(i))
+            jax.block_until_ready(out)
+            lats.append(time.perf_counter() - t0)
+        log(f"p50 40-step invert+edit: {sorted(lats)[1]*1e3:.0f} ms/image")
+    except Exception as e:  # secondary metric must never kill the primary
+        log(f"latency bench skipped: {type(e).__name__}: {e}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "unet_fwd_evals_per_sec_chip_256",
+                "value": round(best, 3),
+                "unit": f"evals/s (bf16, bsz={best_bsz})",
+                "vs_baseline": round(best / REFERENCE_TORCH_CPU_EVALS_PER_SEC, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
+    os._exit(0)  # skip the axon backend's slow teardown

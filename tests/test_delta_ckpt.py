@@ -1,0 +1,116 @@
+"""Released Δh checkpoint loading: golden-value test against the real
+`checkpoint/*.pth` artifacts shipped by the reference."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from asyrp_official_tpu.compat.delta_ckpt import (
+    blocks_to_torch_sd,
+    checkpoint_name,
+    load_delta_checkpoint,
+    load_delta_npz,
+    save_delta_checkpoint,
+    save_delta_npz,
+)
+from asyrp_official_tpu.models.delta import delta_block_apply
+
+RELEASED = "/root/reference/checkpoint/smiling_LC_CelebA_HQ_t999_ninv40_ngen40_0.pth"
+
+
+def test_checkpoint_name_convention():
+    assert (
+        checkpoint_name("smiling", "CelebA_HQ", 999, 40, 40, 0)
+        == "smiling_LC_CelebA_HQ_t999_ninv40_ngen40_0.pth"
+    )
+    assert checkpoint_name("a", "b", 999, 40, 40, 0, extra=3).endswith("_0_3.pth")
+
+
+@pytest.mark.skipif(not os.path.exists(RELEASED), reason="released ckpt unavailable")
+def test_load_released_smiling_checkpoint():
+    ck = load_delta_checkpoint(RELEASED)
+    assert "blocks" in ck and len(ck["blocks"]) == 1
+    b = ck["blocks"][0]
+    # verified released shapes (SURVEY.md §2.1 #8): conv1 (512,512,1,1) → [512,512]
+    assert b["conv1"]["w"].shape == (512, 512)
+    assert b["temb_proj"]["w"].shape == (512, 512)
+    assert b["norm2"]["scale"].shape == (512,)
+    assert b["conv2"]["w"].shape == (512, 512)
+    assert "optimizer" in ck and "scheduler" in ck
+
+
+@pytest.mark.skipif(not os.path.exists(RELEASED), reason="released ckpt unavailable")
+def test_released_deltablock_golden_forward(reference_path):
+    """Run the released smiling DeltaBlock weights through BOTH the torch
+    reference module and ours — outputs must match."""
+    import torch
+    from models.ddpm.diffusion import DeltaBlock
+
+    raw = torch.load(RELEASED, map_location="cpu", weights_only=False)
+    tb = DeltaBlock(in_channels=512, out_channels=512, temb_channels=512, dropout=0.0)
+    tb.load_state_dict(raw["0"])
+    tb.eval()
+
+    ours = load_delta_checkpoint(RELEASED)["blocks"][0]
+
+    rng = np.random.RandomState(0)
+    h = rng.randn(2, 512, 8, 8).astype(np.float32)
+    temb = rng.randn(2, 512).astype(np.float32)
+
+    with torch.no_grad():
+        out_t = tb(torch.from_numpy(h), torch.from_numpy(temb)).numpy()
+
+    out_j = delta_block_apply(
+        jax.tree.map(jnp.asarray, ours),
+        jnp.asarray(np.transpose(h, (0, 2, 3, 1))),
+        jnp.asarray(temb),
+        flavor="ddpm",
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out_j), (0, 3, 1, 2)), out_t, rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.skipif(not os.path.exists(RELEASED), reason="released ckpt unavailable")
+def test_roundtrip_reference_format(tmp_path, reference_path):
+    """Our saver writes a .pth the reference module can load verbatim."""
+    import torch
+    from models.ddpm.diffusion import DeltaBlock
+
+    ck = load_delta_checkpoint(RELEASED)
+    out = str(tmp_path / "rt.pth")
+    save_delta_checkpoint(out, blocks=ck["blocks"], flavor="ddpm")
+
+    raw = torch.load(out, map_location="cpu", weights_only=False)
+    tb = DeltaBlock(in_channels=512, out_channels=512, temb_channels=512, dropout=0.0)
+    tb.load_state_dict(raw["0"])  # raises on key/shape mismatch
+
+    orig = torch.load(RELEASED, map_location="cpu", weights_only=False)["0"]
+    for k in orig:
+        np.testing.assert_allclose(raw["0"][k].numpy(), orig[k].numpy(), rtol=1e-6)
+
+
+def test_delta_rows_roundtrip(tmp_path):
+    rows = {516: np.random.RandomState(0).randn(8, 8, 512).astype(np.float32)}
+    p = str(tmp_path / "rows.pth")
+    save_delta_checkpoint(p, delta_rows=rows)
+    back = load_delta_checkpoint(p)
+    np.testing.assert_allclose(back["delta_rows"][516], rows[516], rtol=1e-6)
+
+
+def test_npz_roundtrip(tmp_path):
+    blocks = [
+        {
+            "conv1": {"w": np.ones((4, 4), np.float32), "b": np.zeros(4, np.float32)},
+            "norm2": {"scale": np.ones(4, np.float32), "bias": np.zeros(4, np.float32)},
+        }
+    ]
+    rows = {100: np.random.RandomState(1).randn(2, 2, 4).astype(np.float32)}
+    p = str(tmp_path / "d.npz")
+    save_delta_npz(p, blocks=blocks, delta_rows=rows)
+    back = load_delta_npz(p)
+    np.testing.assert_allclose(back["blocks"][0]["conv1"]["w"], blocks[0]["conv1"]["w"])
+    np.testing.assert_allclose(back["delta_rows"][100], rows[100])
