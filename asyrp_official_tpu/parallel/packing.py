@@ -1,0 +1,95 @@
+"""Parameter packing: flatten a param pytree into ONE device buffer.
+
+Why: dispatching a jitted function whose arguments are hundreds of separate
+arrays pays per-buffer marshalling cost on every call. On this image's
+relay-attached TPU that cost dominates everything (measured: the 113.7M-param
+flagship forward drops from 2630 ms to 12.8 ms per call — 205× — when its
+450 param leaves are packed into a single flat buffer). On directly-attached
+TPUs the effect is smaller but still real (per-buffer dispatch bookkeeping).
+
+Unpacking happens INSIDE the jitted computation via static-offset dynamic
+slices — XLA turns these into zero-copy views, so there is no runtime cost.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["ParamPacker", "PackedSpec"]
+
+
+class ParamPacker:
+    """Flatten/unflatten a fixed-structure pytree to/from one 1-D f32 buffer."""
+
+    def __init__(self, example_tree: Any):
+        leaves, self.treedef = jax.tree.flatten(example_tree)
+        self.shapes = [l.shape for l in leaves]
+        self.sizes = [int(np.prod(s)) if s else 1 for s in self.shapes]
+        self.offsets = np.cumsum([0] + self.sizes).tolist()
+        self.total = self.offsets[-1]
+        self.dtypes = [l.dtype for l in leaves]
+        for d in self.dtypes:
+            assert jnp.issubdtype(d, jnp.floating), (
+                f"ParamPacker packs float leaves only, got {d}"
+            )
+
+    def pack(self, tree: Any) -> jnp.ndarray:
+        leaves = jax.tree.leaves(tree)
+        assert len(leaves) == len(self.sizes)
+        return jnp.concatenate(
+            [jnp.ravel(l).astype(jnp.float32) for l in leaves]
+        )
+
+    def unpack(self, flat: jnp.ndarray) -> Any:
+        """Traceable: static-offset slices, free under jit."""
+        leaves = [
+            jax.lax.dynamic_slice(flat, (self.offsets[i],), (self.sizes[i],))
+            .reshape(self.shapes[i])
+            .astype(self.dtypes[i])
+            for i in range(len(self.sizes))
+        ]
+        return jax.tree.unflatten(self.treedef, leaves)
+
+
+class PackedSpec:
+    """Duck-typed ModelSpec whose `apply` takes the packed flat buffer.
+    Engines (pipelines/engine.py) close over the spec, so this slots in
+    anywhere a ModelSpec is used:
+
+        packed = PackedSpec(spec, params)
+        flat = packed.pack(params)          # once, host→device
+        run = engine.make_invert(packed, sched, seq)
+        x_lat, _ = run(flat, x0)            # 1 param buffer per call
+    """
+
+    def __init__(self, spec, example_params):
+        self._spec = spec
+        self.packer = ParamPacker(example_params)
+        self.learn_sigma = spec.learn_sigma
+        self.config = spec.config
+        self.family = spec.family
+        self.delta_flavor = spec.delta_flavor
+
+    def pack(self, params):
+        return self.packer.pack(params)
+
+    def apply(self, flat, x, t, edit=None, **kw):
+        return self._spec.apply(self.packer.unpack(flat), x, t, edit=edit, **kw)
+
+    def get_temb(self, flat, t):
+        return self._spec.get_temb(self.packer.unpack(flat), t)
+
+    @property
+    def bottleneck_ch(self):
+        return self._spec.bottleneck_ch
+
+    @property
+    def temb_ch(self):
+        return self._spec.temb_ch
+
+    @property
+    def resolution(self):
+        return self._spec.resolution

@@ -33,15 +33,27 @@ def main():
     from asyrp_official_tpu.core.schedule import make_schedule, uniform_seq
     from asyrp_official_tpu.models.delta import EditState, delta_block_init
     from asyrp_official_tpu.models.registry import resolve
+    from asyrp_official_tpu.parallel.packing import PackedSpec
     from asyrp_official_tpu.pipelines import engine
 
     dev = jax.devices()[0]
     log(f"device: {dev}, backend: {jax.default_backend()}")
 
     spec = resolve("CelebA_HQ")
-    params = spec.init(jax.random.PRNGKey(0))
+    # init on the CPU backend: param init is hundreds of tiny random kernels,
+    # which are pathologically slow through the axon remote-compile tunnel
+    t0 = time.perf_counter()
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = spec.init(jax.random.PRNGKey(0))
+        params = jax.block_until_ready(params)
     n_params = sum(x.size for x in jax.tree.leaves(params))
-    log(f"flagship params: {n_params/1e6:.1f}M")
+    # pack the 450 param leaves into ONE device buffer: per-buffer dispatch
+    # marshalling otherwise dominates (measured 2630 ms → 12.8 ms per call)
+    spec = PackedSpec(spec, params)
+    with jax.default_device(jax.devices("cpu")[0]):
+        flat = spec.pack(params)
+    params = jax.device_put(flat, dev)
+    log(f"flagship params: {n_params/1e6:.1f}M (init {time.perf_counter()-t0:.1f}s)")
 
     compute_dtype = jnp.bfloat16
 
@@ -50,17 +62,23 @@ def main():
         eps, *_ = spec.apply(params, x.astype(compute_dtype), t)
         return eps
 
+    def force(arr):
+        # block_until_ready is unreliable through the axon relay — a
+        # host fetch of a reduction is the only honest completion barrier
+        return float(jnp.sum(arr))
+
     best = 0.0
     best_bsz = 0
     for bsz in (1, 4, 8):
         x = jnp.asarray(np.random.RandomState(0).randn(bsz, 256, 256, 3), jnp.float32)
         t = jnp.full((bsz,), 500.0, jnp.float32)
-        fwd(params, x, t).block_until_ready()  # compile + warmup
-        t0 = time.perf_counter()
+        force(fwd(params, x, t))  # compile + warmup
         iters = 10
+        t0 = time.perf_counter()
+        out = x
         for _ in range(iters):
-            out = fwd(params, x, t)
-        out.block_until_ready()
+            out = fwd(params, out, t)  # chained: no fake pipelining
+        force(out)
         dt = (time.perf_counter() - t0) / iters
         eps_s = bsz / dt
         log(f"bsz={bsz}: {dt*1e3:.1f} ms/iter -> {eps_s:.2f} evals/sec")
@@ -71,9 +89,11 @@ def main():
     try:
         sched = make_schedule()
         seq = uniform_seq(40, 999)
-        block = delta_block_init(
-            jax.random.PRNGKey(1), spec.bottleneck_ch, spec.temb_ch
-        )
+        with jax.default_device(jax.devices("cpu")[0]):
+            block = delta_block_init(
+                jax.random.PRNGKey(1), spec.bottleneck_ch, spec.temb_ch
+            )
+        block = jax.device_put(block, dev)
         edit = EditState(blocks=(block,), hs_coeff=jnp.array([1.0, 1.0]))
         invert = engine.make_invert(spec, sched, seq, compute_dtype=compute_dtype)
         gen = engine.make_edit_generate(
@@ -83,13 +103,13 @@ def main():
         x = jnp.asarray(np.random.RandomState(1).randn(1, 256, 256, 3), jnp.float32)
         x_lat, _ = invert(params, x)
         out, _ = gen(params, edit, x_lat, jax.random.PRNGKey(0))
-        jax.block_until_ready(out)  # compile
+        force(out)  # compile
         lats = []
         for i in range(3):
             t0 = time.perf_counter()
             x_lat, _ = invert(params, x)
             out, _ = gen(params, edit, x_lat, jax.random.PRNGKey(i))
-            jax.block_until_ready(out)
+            force(out)
             lats.append(time.perf_counter() - t0)
         log(f"p50 40-step invert+edit: {sorted(lats)[1]*1e3:.0f} ms/image")
     except Exception as e:  # secondary metric must never kill the primary
