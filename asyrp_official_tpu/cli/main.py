@@ -1,0 +1,259 @@
+"""CLI — mirrors the reference `main.py` flag surface (main.py:12-228) and
+dispatch (`--run_train` / `--run_test` / `--lpips` / `--just_precompute`,
+main.py:332-337), driving AsyrpRunner.
+
+Usage:
+  python -m asyrp_official_tpu.cli.main --run_test --config celeba.yml \
+      --exp ./runs/smiling --edit_attr smiling --n_test_img 4 \
+      --user_defined_t_edit 513 --user_defined_t_addnoise 167 \
+      --model_path pretrained/celeba_hq.ckpt --ni
+
+Flags the reference parses but never dispatches (style_transfer,
+latent_clr, clip_finetune, warigari, ... — SURVEY.md §2.2) are accepted for
+command-line compatibility and reported via --list_vestigial.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import random
+import sys
+
+import numpy as np
+import yaml
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+VESTIGIAL_FLAGS = [
+    # parsed-but-undispatched reference flags (main.py:83-142,186-203)
+    "do_alternate", "style_transfer", "style_transfer_style_from_train_images",
+    "style_transfer_noise_from", "latent_classifier", "warigari", "attr_index",
+    "classification_results_file_name", "clip_finetune", "global_clip",
+    "run_origin", "latent_at", "test_celeba_dialog", "latent_clr",
+    "eval_latent_clr", "interpolation", "interpolation2", "clip_latent_optim",
+    "edit_images_from_dataset", "edit_one_image", "unseen2unseen",
+    "clip_finetune_eff", "edit_one_image_eff", "test_pretrained",
+    "compute_distance_graph", "global_cliploss", "from_noise", "random_ddim",
+    "direct_ddim", "direct_same_regardless_of_t", "step_40_to_ddpm",
+    "l1_loss_with_x0", "pass_origin_and_save_real_image",
+    "style_transfer_use_mean", "analysis", "run_optimize_delta_h",
+    "run_test_pretrained_self_delta_h", "test_pretrained_at_once",
+    "align_face", "hybrid_noise", "deterministic_inv", "diff_style",
+]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Asyrp-TPU")
+    add = p.add_argument
+
+    # mode dispatch
+    add("--run_train", action="store_true")
+    add("--run_test", action="store_true")
+    add("--lpips", action="store_true")
+    add("--just_precompute", action="store_true")
+
+    # config / experiment
+    add("--config", type=str, required=True, help="config yml name or path")
+    add("--exp", type=str, default="./runs/exp")
+    add("--comment", type=str, default="")
+    add("--seed", type=int, default=1234)
+    add("--verbose", type=str, default="info")
+    add("--ni", action="store_true", help="no interaction (overwrite folders)")
+    add("--sh_file_name", type=str, default="")
+    add("--bf16", action="store_true", help="run the UNet in bfloat16")
+    add("--work_dir", type=str, default=".")
+
+    # editing target
+    add("--edit_attr", type=str, default=None)
+    add("--src_txts", type=str, nargs="+", default=None)
+    add("--trg_txts", type=str, nargs="+", default=None)
+    add("--target_class_num", type=int, default=None)
+
+    # trajectory
+    add("--t_0", type=int, default=999)
+    add("--n_inv_step", type=int, default=40)
+    add("--n_train_step", type=int, default=40)
+    add("--n_test_step", type=int, default=40)
+    add("--sample_type", type=str, default="ddim", choices=["ddim", "ddpm"])
+    add("--eta", type=float, default=0.0)
+
+    # training
+    add("--train_delta_block", action="store_true")
+    add("--train_delta_h", action="store_true")
+    add("--ignore_timesteps", action="store_true")
+    add("--do_train", type=int, default=1)
+    add("--do_test", type=int, default=1)
+    add("--retrain", type=int, default=0)
+    add("--n_iter", type=int, default=1)
+    add("--bs_train", type=int, default=1)
+    add("--bs_test", type=int, default=1)
+    add("--n_precomp_img", type=int, default=100)
+    add("--n_train_img", type=int, default=100)
+    add("--n_test_img", type=int, default=32)
+    add("--get_h_num", type=int, default=1)
+    add("--lr_training", type=float, default=0.5)
+    add("--scheduler", type=int, default=1)
+    add("--scheduler_step_size", type=int, default=5)
+    add("--sch_gamma", type=float, default=0.1)
+    add("--clip_loss_w", type=float, default=1.0)
+    add("--l1_loss_w", type=float, default=3.0)
+    add("--id_loss_w", type=float, default=0.0)
+    add("--clr_loss_w", type=float, default=0.0)
+    add("--use_id_loss", action="store_true")
+    add("--clip_model_name", type=str, default="ViT-B/16")
+    add("--save_train_image", action="store_true")
+    add("--save_train_image_step", type=int, default=8)
+    add("--save_train_image_iter", type=int, default=1)
+    add("--save_checkpoint_only_last_iter", action="store_true")
+    add("--save_checkpoint_during_iter", action="store_true")
+    add("--save_checkpoint_step", type=int, default=10)
+    add("--start_iter_when_you_use_pretrained", type=int, default=0)
+    add("--shuffle_train_dataloader", action="store_true")
+    add("--re_precompute", action="store_true")
+    add("--use_x0_tensor", action="store_true")
+
+    # interval
+    add("--user_defined_t_edit", type=int, default=0)
+    add("--user_defined_t_addnoise", type=int, default=0)
+    add("--lpips_edit_th", type=float, default=0.33)
+    add("--lpips_addnoise_th", type=float, default=0.1)
+    add("--add_noise_from_xt", action="store_true")
+    add("--origin_process_addnoise", action="store_true")
+
+    # inference
+    add("--load_random_noise", action="store_true")
+    add("--saved_random_noise", action="store_true")
+    add("--delta_interpolation", action="store_true")
+    add("--max_delta", type=float, default=1.0)
+    add("--min_delta", type=float, default=-1.0)
+    add("--num_delta", type=int, default=5)
+    add("--hs_coeff_delta_h", type=float, default=1.0)
+    add("--hs_coeff_origin_h", type=float, default=1.0)
+    add("--target_image_id", type=str, default=None)
+    add("--start_image_id", type=int, default=0)
+    add("--save_x0", action="store_true")
+    add("--save_x_origin", action="store_true")
+    add("--save_process_origin", action="store_true")
+    add("--save_process_delta_h", action="store_true")
+    add("--save_precomputed_images", action="store_true")
+    add("--num_mean_of_delta_hs", type=int, default=0)
+    add("--multiple_attr", type=str, default=None)
+    add("--multiple_hs_coeff", type=str, default=None)
+    add("--masked_h", action="store_true")
+    add("--use_mask", action="store_true")
+    add("--manual_checkpoint_name", type=str, default=None)
+    add("--choose_checkpoint_num", type=int, default=None)
+    add("--load_from_checkpoint", type=str, default=None)
+    add("--pass_editing", action="store_true")
+    add("--dt_lambda", type=float, default=1.0)
+    add("--dt_end", type=int, default=999)
+    add("--model_ratio", type=float, default=1.0)
+    add("--save_grid", action="store_true")
+
+    # paths / weights
+    add("--model_path", type=str, default=None)
+    add("--img_path", type=str, default=None)
+    add("--custom_train_dataset_dir", type=str, default="train_images")
+    add("--custom_test_dataset_dir", type=str, default="test_images")
+    add("--custom_dataset_name", type=str, default="custom")
+    add("--clip_ckpt", type=str, default=None, help="OpenAI CLIP .pt/.pth")
+    add("--ir_se50_ckpt", type=str, default=None, help="ArcFace weights")
+    add("--lpips_ckpt", type=str, default=None, help="AlexNet+lin weights")
+
+    # vestigial (accepted, no dispatch — reference parity)
+    for flag in VESTIGIAL_FLAGS:
+        add(f"--{flag}", nargs="?", const=True, default=None,
+            help=argparse.SUPPRESS)
+    add("--list_vestigial", action="store_true",
+        help="list accepted-but-undispatched reference flags")
+    return p
+
+
+def load_config(name: str) -> dict:
+    path = name if os.path.exists(name) else os.path.join(CONFIG_DIR, name)
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def build_contexts(args):
+    """Load the optional external towers from user-supplied weights."""
+    clip_ctx = id_params = lpips_params = None
+    if args.clip_ckpt:
+        import jax
+
+        from asyrp_official_tpu.compat.torch_convert import load_state_dict_numpy
+        from asyrp_official_tpu.losses import clip_model
+        from asyrp_official_tpu.losses.clip_loss import CLIPContext
+
+        sd = load_state_dict_numpy(args.clip_ckpt)
+        params, cfg = clip_model.params_from_torch(sd)
+        clip_ctx = CLIPContext(params, cfg)
+    if args.ir_se50_ckpt:
+        import jax
+
+        from asyrp_official_tpu.compat.torch_convert import load_state_dict_numpy
+        from asyrp_official_tpu.losses import id_loss
+
+        id_params = id_loss.params_from_torch(
+            load_state_dict_numpy(args.ir_se50_ckpt)
+        )
+    if args.lpips_ckpt:
+        import numpy as _np
+
+        from asyrp_official_tpu.losses import lpips_jax
+
+        blob = _np.load(args.lpips_ckpt, allow_pickle=True)
+        lpips_params = blob["params"].item() if "params" in blob else None
+    return clip_ctx, id_params, lpips_params
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.list_vestigial:
+        print("\n".join(VESTIGIAL_FLAGS))
+        return 0
+
+    config = load_config(args.config)
+
+    # exp naming (main.py:235)
+    args.exp = (
+        args.exp
+        + f"_LC_{config['data']['category']}_t{args.t_0}"
+        + f"_ninv{args.n_inv_step}_ngen{args.n_train_step}"
+    )
+
+    logging.basicConfig(
+        level=getattr(logging, args.verbose.upper(), logging.INFO),
+        format="%(levelname)s - %(filename)s - %(asctime)s - %(message)s",
+    )
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    os.makedirs(args.exp, exist_ok=True)
+
+    from asyrp_official_tpu.runner import AsyrpRunner
+
+    clip_ctx, id_params, lpips_params = build_contexts(args)
+    runner = AsyrpRunner(
+        args, config, clip_ctx=clip_ctx, id_params=id_params,
+        lpips_params=lpips_params, work_dir=args.work_dir,
+    )
+    try:
+        if args.run_train or args.just_precompute:
+            runner.run_training()
+        elif args.run_test:
+            runner.run_test()
+        elif args.lpips:
+            runner.run_lpips()
+        else:
+            print("nothing to do: pass --run_train / --run_test / --lpips")
+            return 1
+    except Exception:
+        logging.exception("run failed")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -136,7 +136,9 @@ def save_delta_checkpoint(
     if blocks is not None:
         for i, b in enumerate(blocks):
             sd = blocks_to_torch_sd(b, flavor)
-            dicts[f"{i}"] = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+            dicts[f"{i}"] = {
+                k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()
+            }
     if delta_rows is not None:
         for t, row in delta_rows.items():
             dicts[f"{t}"] = torch.from_numpy(

@@ -101,7 +101,12 @@ def sample_chain(
         t_i, t_next_i, eta_i, use_delta_i, delta_idx_i, step_i = per_step
         t_b = jnp.full((bsz,), t_i, jnp.float32)
         aux = {"use_delta": use_delta_i, "delta_idx": delta_idx_i, "step": step_i}
-        eps_raw, eps_mod_raw = eps_fn(x, t_b, aux)
+        result = eps_fn(x, t_b, aux)
+        extras = {}
+        if len(result) == 3:
+            eps_raw, eps_mod_raw, extras = result
+        else:
+            eps_raw, eps_mod_raw = result
 
         if learn_sigma:
             # channel split, NHWC last axis (utils/diffusion_utils.py:47-51).
@@ -152,6 +157,9 @@ def sample_chain(
             ys["x"] = x_next
         if "x0_t" in collect:
             ys["x0_t"] = x0_t
+        for k in collect:
+            if k in extras:
+                ys[k] = extras[k]
         return x_next, ys
 
     x_final, ys = jax.lax.scan(body, x_init, arrays)

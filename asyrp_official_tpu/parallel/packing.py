@@ -43,6 +43,15 @@ class ParamPacker:
             [jnp.ravel(l).astype(jnp.float32) for l in leaves]
         )
 
+    def pack_numpy(self, tree: Any) -> np.ndarray:
+        """Host-side pack (fast path for huge trees — avoids hundreds of
+        device ops)."""
+        leaves = jax.tree.leaves(tree)
+        assert len(leaves) == len(self.sizes)
+        return np.concatenate(
+            [np.asarray(l, np.float32).ravel() for l in leaves]
+        )
+
     def unpack(self, flat: jnp.ndarray) -> Any:
         """Traceable: static-offset slices, free under jit."""
         leaves = [

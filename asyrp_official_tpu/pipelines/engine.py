@@ -41,9 +41,20 @@ def _plain_eps(spec: ModelSpec, params, compute_dtype):
 def _edited_eps(spec: ModelSpec, params, edit: EditState, compute_dtype):
     def eps_fn(x, t, aux):
         xm = x.astype(compute_dtype)
-        eps, eps_mod, _, _ = spec.apply(params, xm, t, edit=edit.at_step(aux))
-        return eps.astype(jnp.float32), (
-            eps_mod.astype(jnp.float32) if eps_mod is not None else None
+        eps, eps_mod, delta_h, middle_h = spec.apply(
+            params, xm, t, edit=edit.at_step(aux)
+        )
+        extras = {}
+        if delta_h is not None:
+            # masked below t_edit so mean-of-Δh harvesting only accumulates
+            # active steps (diffusion_latent.py:528-532)
+            extras["delta_h"] = (
+                delta_h.astype(jnp.float32) * aux["use_delta"]
+            )
+        return (
+            eps.astype(jnp.float32),
+            eps_mod.astype(jnp.float32) if eps_mod is not None else None,
+            extras,
         )
 
     return eps_fn

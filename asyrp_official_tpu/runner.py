@@ -1,0 +1,645 @@
+"""AsyrpRunner — the orchestration layer (the reference `Asyrp` class,
+diffusion_latent.py:31-874, re-designed around the compiled engines).
+
+Implements the three dispatched entry paths (main.py:332-337):
+  * run_training  — Δ training with resume, per-outer-iteration StepLR,
+    checkpointing in the reference `.pth` format, post-train test sweep;
+  * run_test      — checkpoint resolution (exp naming / load_from_checkpoint /
+    manual / choose_num), Δh test-grid remapping and n_train/n_test scaling,
+    multi-attribute mixing, delta-interpolation sweeps, mean-of-Δh global
+    directions, random-noise latents, grid writing;
+  * run_lpips     — LPIPS calibration tables.
+
+TPU-first differences from the reference:
+  * trajectories run as compiled scans (engines); per-image batches are
+    real batches, not concatenated bs-1 loader output;
+  * params can be packed into one device buffer (parallel/packing.py);
+  * heavy external towers (CLIP / ArcFace / LPIPS) are injected as contexts
+    so environments without their weights still run every other path.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from asyrp_official_tpu.compat import delta_ckpt
+from asyrp_official_tpu.core.schedule import Schedule, make_schedule, train_seq, uniform_seq
+from asyrp_official_tpu.data import datasets as data
+from asyrp_official_tpu.data.imageio import save_image
+from asyrp_official_tpu.models import ddpmpp, openai_unet
+from asyrp_official_tpu.models.delta import EditState, delta_block_init
+from asyrp_official_tpu.models.registry import ModelSpec, PRETRAINED_URLS
+from asyrp_official_tpu.pipelines import engine, precompute as pc
+from asyrp_official_tpu.pipelines import train as tr
+from asyrp_official_tpu.pipelines.interval import select_interval
+from asyrp_official_tpu.utils import assets
+
+log = logging.getLogger(__name__)
+
+
+def spec_from_config(config) -> ModelSpec:
+    """Build the ModelSpec from a parsed YAML config (model section)."""
+    m = config["model"]
+    d = config["data"]
+    if m.get("family", "ddpmpp") == "ddpmpp":
+        cfg = ddpmpp.DDPMppConfig(
+            ch=m["ch"],
+            out_ch=m["out_ch"],
+            ch_mult=tuple(m["ch_mult"]),
+            num_res_blocks=m["num_res_blocks"],
+            attn_resolutions=tuple(m["attn_resolutions"]),
+            dropout=m.get("dropout", 0.0),
+            in_channels=m["in_channels"],
+            resolution=d["image_size"],
+            resamp_with_conv=m.get("resamp_with_conv", True),
+        )
+        return ModelSpec("ddpmpp", cfg, False, "ddpm")
+    img = d["image_size"]
+    cfg = openai_unet.OpenAIUNetConfig(
+        image_size=img,
+        in_channels=m["in_channels"],
+        model_channels=m["ch"],
+        out_channels=m["out_ch"],
+        num_res_blocks=m["num_res_blocks"],
+        # config stores attention RESOLUTIONS; OpenAI models key on ds rate
+        attention_ds=tuple(img // r for r in m["attn_resolutions"]),
+        channel_mult=tuple(m["ch_mult"]),
+        num_classes=1000 if m.get("class_cond") else None,
+        num_head_channels=m.get("num_head_channels", 64),
+        use_scale_shift_norm=m.get("use_scale_shift_norm", True),
+        resblock_updown=m.get("resblock_updown", True),
+        dropout=m.get("dropout", 0.0),
+    )
+    return ModelSpec("openai", cfg, m.get("learn_sigma", True), "openai")
+
+
+def _dataset_key(config) -> str:
+    """The LPIPS-curve key for a config (reference keys tables by config
+    file stem, diffusion_latent.py:1336-1339)."""
+    return {
+        "CelebA_HQ": "celeba",
+        "CUSTOM": "celeba",
+        "CelebA_HQ_Dialog": "celeba",
+        "LSUN_church_outdoor": "church",
+        "LSUN_bedroom": "bedroom",
+        "AFHQ": "afhq",
+        "FFHQ": "afhq",
+        "MetFACE": "metface",
+        "CelebA_HQ_P2": "metface",
+        "IMAGENET": "celeba",
+    }.get(_route_key(config), "celeba")
+
+
+def _route_key(config) -> str:
+    d = config["data"]
+    if d["dataset"] == "LSUN":
+        return f"LSUN_{d['category']}"
+    return d["dataset"]
+
+
+class AsyrpRunner:
+    def __init__(
+        self,
+        args,
+        config: Dict[str, Any],
+        *,
+        clip_ctx=None,
+        id_params=None,
+        lpips_params=None,
+        work_dir: str = ".",
+    ):
+        self.args = args
+        self.config = config
+        self.spec = spec_from_config(config)
+        diff = config["diffusion"]
+        self.schedule = make_schedule(
+            num_timesteps=diff["num_diffusion_timesteps"],
+            beta_start=diff["beta_start"],
+            beta_end=diff["beta_end"],
+            var_type=config["model"].get("var_type", "fixedsmall"),
+        )
+        self.clip_ctx = clip_ctx
+        self.id_params = id_params
+        self.lpips_params = lpips_params
+        self.work_dir = work_dir
+        self.compute_dtype = (
+            jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
+        )
+
+        # prompt resolution (diffusion_latent.py:65-73)
+        if getattr(args, "edit_attr", None) not in (None, "attribute"):
+            self.src_txts, self.trg_txts = assets.src_trg_prompts()[args.edit_attr]
+        else:
+            self.src_txts = getattr(args, "src_txts", None)
+            self.trg_txts = getattr(args, "trg_txts", None)
+
+        self._params = None
+
+    # ------------------------------------------------------------------
+    # model loading
+    # ------------------------------------------------------------------
+    def load_pretrained(self):
+        """Frozen base-model params: --model_path (torch ckpt) or random
+        init (explicitly logged — auto-download is not available in
+        zero-egress environments; URLs recorded in registry.PRETRAINED_URLS)."""
+        if self._params is not None:
+            return self._params
+        path = getattr(self.args, "model_path", None)
+        if path:
+            from asyrp_official_tpu.compat.torch_convert import load_state_dict_numpy
+
+            sd = load_state_dict_numpy(path)
+            params = self.spec.params_from_torch(sd)
+            log.info("loaded pretrained diffusion model from %s", path)
+        else:
+            url = PRETRAINED_URLS.get(_route_key(self.config))
+            log.warning(
+                "no --model_path given; using RANDOM weights (pretrained ckpt "
+                "for this dataset: %s)", url,
+            )
+            with jax.default_device(jax.devices("cpu")[0]):
+                params = self.spec.init(jax.random.PRNGKey(self.args.seed))
+        self._params = params
+        return params
+
+    # ------------------------------------------------------------------
+    # interval
+    # ------------------------------------------------------------------
+    def set_interval(self) -> float:
+        a = self.args
+        if a.user_defined_t_edit and a.user_defined_t_addnoise and self.clip_ctx is None:
+            self.t_edit, self.t_addnoise = a.user_defined_t_edit, a.user_defined_t_addnoise
+            return 1.0
+        cosine = 1.0
+        if self.clip_ctx is not None:
+            cosine = self.clip_ctx.text_cosine(self.src_txts, self.trg_txts)
+        self.t_edit, self.t_addnoise = select_interval(
+            _dataset_key(self.config),
+            cosine,
+            lpips_edit_th=a.lpips_edit_th,
+            lpips_addnoise_th=a.lpips_addnoise_th,
+            add_noise_from_xt=getattr(a, "add_noise_from_xt", False),
+            user_defined_t_edit=a.user_defined_t_edit or None,
+            user_defined_t_addnoise=a.user_defined_t_addnoise or None,
+        )
+        log.info("t_edit=%d t_addnoise=%d cosine=%.4f", self.t_edit, self.t_addnoise, cosine)
+        return cosine
+
+    # ------------------------------------------------------------------
+    # data
+    # ------------------------------------------------------------------
+    def get_pairs(self, params, mode: str) -> Dict[str, np.ndarray]:
+        a = self.args
+        d = self.config["data"]
+        n_img = a.n_train_img if mode == "train" else a.n_test_img
+        if getattr(a, "load_random_noise", False):
+            return pc.random_noise_pairs(
+                self.spec, params, self.schedule,
+                n_img=n_img, n_inv_step=a.n_inv_step,
+                image_size=d["image_size"], mode=mode,
+                category=d["category"], cache_dir=self._dir("precomputed"),
+                saved_noise=getattr(a, "saved_random_noise", False),
+                batch_size=a.bs_train, seed=a.seed, t_0=a.t_0,
+                compute_dtype=self.compute_dtype,
+            )
+        paths = dict(getattr(a, "dataset_paths", {}) or {})
+        if d["category"] == "CUSTOM":
+            paths["custom_train"] = a.custom_train_dataset_dir
+            paths["custom_test"] = a.custom_test_dataset_dir
+        train_ds, test_ds = data.get_dataset(
+            d["dataset"], paths, category=d["category"],
+            image_size=d["image_size"],
+            target_class_num=getattr(a, "target_class_num", None),
+        )
+        ds = train_ds if mode == "train" else test_ds
+        return pc.precompute_pairs(
+            self.spec, params, self.schedule, ds,
+            n_img=n_img, n_inv_step=a.n_inv_step, t_0=a.t_0, mode=mode,
+            category=d["category"], cache_dir=self._dir("precomputed"),
+            batch_size=a.bs_train,
+            re_precompute=getattr(a, "re_precompute", False),
+            compute_dtype=self.compute_dtype,
+        )
+
+    def _dir(self, name: str) -> str:
+        p = os.path.join(self.work_dir, name)
+        os.makedirs(p, exist_ok=True)
+        return p
+
+    def _ckpt_path(self, it: int, extra: Optional[int] = None) -> str:
+        a = self.args
+        d = self.config["data"]
+        if getattr(a, "load_from_checkpoint", None):
+            name = delta_ckpt.checkpoint_name(
+                a.load_from_checkpoint, d["category"], a.t_0, a.n_inv_step,
+                a.n_train_step, it, extra,
+            )
+        else:
+            exp_id = os.path.split(a.exp)[-1]
+            name = f"{exp_id}_{it}.pth" if extra is None else f"{exp_id}_{it}_{extra}.pth"
+        return os.path.join(self._dir("checkpoint"), name)
+
+    # ------------------------------------------------------------------
+    # training (diffusion_latent.py:129-441)
+    # ------------------------------------------------------------------
+    def run_training(self):
+        a = self.args
+        cosine = self.set_interval()
+        seq_train, _ = train_seq(a.n_train_step, a.t_0, self.t_edit)
+        seq_test = uniform_seq(a.n_train_step, a.t_0)
+        params = self.load_pretrained()
+
+        # trainable state
+        train_target = "rows" if a.train_delta_h else "blocks"
+        bottleneck_hw = self.spec.resolution // (
+            2 ** (len(self.config["model"]["ch_mult"]) - 1)
+        )
+        with jax.default_device(jax.devices("cpu")[0]):
+            if train_target == "blocks":
+                blocks = tuple(
+                    delta_block_init(
+                        jax.random.PRNGKey(a.seed + i),
+                        self.spec.bottleneck_ch, self.spec.temb_ch,
+                        flavor=self.spec.delta_flavor,
+                    )
+                    for i in range(a.get_h_num)
+                )
+                edit = EditState(
+                    blocks=blocks,
+                    hs_coeff=jnp.array([1.0, 1.0]),
+                    flavor=self.spec.delta_flavor,
+                    ignore_timestep=a.ignore_timesteps,
+                )
+            else:
+                k = 1 if a.ignore_timesteps else len(seq_train)
+                rows = 0.2 * jax.random.normal(
+                    jax.random.PRNGKey(a.seed),
+                    (k, bottleneck_hw, bottleneck_hw, self.spec.bottleneck_ch),
+                )
+                edit = EditState(
+                    mode="input", delta_rows=rows,
+                    hs_coeff=jnp.array([1.0, 1.0]), input_style="add",
+                    ignore_timestep=a.ignore_timesteps,
+                )
+
+        # loss
+        extra_loss = None
+        if self.clip_ctx is not None and a.clip_loss_w:
+            from asyrp_official_tpu.losses.clip_loss import train_clip_term
+
+            extra_loss = train_clip_term(
+                self.clip_ctx, self.src_txts[0], self.trg_txts[0], a.clip_loss_w
+            )
+        if self.id_params is not None and a.id_loss_w:
+            from asyrp_official_tpu.losses.id_loss import id_loss as idl
+
+            id_p = self.id_params
+            clip_extra = extra_loss
+
+            def extra_loss(x0, x0_t, _clip=clip_extra, _idp=id_p):  # noqa: F811
+                out = a.id_loss_w * idl(_idp, x0, x0_t).mean()
+                if _clip is not None:
+                    out = out + _clip(x0, x0_t)
+                return out
+
+        def loss_fn(x0_t, x0_t_origin, x0):
+            return tr.default_loss(
+                x0_t, x0_t_origin, x0, l1_w=a.l1_loss_w, cosine=cosine,
+                extra=extra_loss,
+            )
+
+        opt = tr.make_optimizer(a.lr_training, a.scheduler_step_size, a.sch_gamma)
+        trainable = edit.blocks if train_target == "blocks" else edit.delta_rows
+        opt_state = opt.init(trainable)
+        step = tr.make_train_step(
+            self.spec, self.schedule, seq_train, t_edit=self.t_edit,
+            optimizer=opt, loss_fn=loss_fn, train_target=train_target,
+            ignore_timesteps=a.ignore_timesteps,
+            compute_dtype=self.compute_dtype,
+        )
+
+        pairs = self.get_pairs(params, "train")
+        if getattr(a, "just_precompute", False):
+            log.info("pre-computed done.")
+            return edit
+
+        x_lat_all = pairs["x_lat"][: a.n_train_img]
+        x0_all = pairs["x0"][: a.n_train_img]
+
+        for it_out in range(a.start_iter_when_you_use_pretrained, a.n_iter):
+            save_name = self._ckpt_path(it_out)
+            if not a.retrain and os.path.exists(save_name):
+                log.info("%s exists; loading checkpoint and skipping iter", save_name)
+                loaded = delta_ckpt.load_delta_checkpoint(save_name)
+                edit = self._apply_loaded_delta(edit, loaded, seq_train)
+                continue
+            lr = tr.steplr_lr(a.lr_training, it_out, a.scheduler_step_size, a.sch_gamma)
+            losses = []
+            for ofs in range(0, len(x_lat_all), a.bs_train):
+                xb = jnp.asarray(x_lat_all[ofs : ofs + a.bs_train])
+                x0b = jnp.asarray(x0_all[ofs : ofs + a.bs_train])
+                if xb.shape[0] != a.bs_train:
+                    break  # drop_last semantics
+                edit, opt_state, metrics = step(params, edit, opt_state, xb, x0b, lr)
+                losses.append(float(metrics["loss"]))
+                if a.save_checkpoint_during_iter and len(losses) % a.save_checkpoint_step == 0:
+                    self._save_delta(edit, self._ckpt_path(it_out, len(losses)), train_target, seq_train)
+            log.info("iter %d: mean loss %.4f (lr %.4g)", it_out, float(np.mean(losses or [0.0])), lr)
+            self._save_delta(edit, save_name, train_target, seq_train)
+            if a.save_checkpoint_only_last_iter and it_out > 0:
+                prev = self._ckpt_path(it_out - 1)
+                if os.path.exists(prev):
+                    os.remove(prev)
+
+        if a.do_test:
+            self._test_sweep(params, edit, seq_test)
+        return edit
+
+    def _save_delta(self, edit: EditState, path: str, train_target: str, seq_train):
+        if train_target == "blocks":
+            delta_ckpt.save_delta_checkpoint(
+                path, blocks=[jax.tree.map(np.asarray, b) for b in edit.blocks],
+                flavor=self.spec.delta_flavor,
+            )
+        else:
+            rows = np.asarray(edit.delta_rows)
+            keys = [0] if self.args.ignore_timesteps else list(seq_train)
+            delta_ckpt.save_delta_checkpoint(
+                path, delta_rows={t: rows[i] for i, t in enumerate(keys)}
+            )
+        log.info("saved %s", path)
+
+    def _apply_loaded_delta(self, edit: EditState, loaded, seq_train) -> EditState:
+        if "blocks" in loaded:
+            return dataclasses.replace(
+                edit, blocks=tuple(jax.tree.map(jnp.asarray, b) for b in loaded["blocks"])
+            )
+        rows_dict = loaded["delta_rows"]
+        keys = [0] if self.args.ignore_timesteps else list(seq_train)
+        rows = jnp.asarray(np.stack([rows_dict[t] for t in keys]))
+        return dataclasses.replace(edit, delta_rows=rows)
+
+    # ------------------------------------------------------------------
+    # generation / grids (save_image, diffusion_latent.py:445-544)
+    # ------------------------------------------------------------------
+    def save_grid(
+        self,
+        params,
+        edit: Optional[EditState],
+        x_lat: np.ndarray,
+        seq,
+        *,
+        file_name: str,
+        folder: str,
+        hs_coeff_list: Optional[List] = None,
+        x0: Optional[np.ndarray] = None,
+        collect_delta: bool = False,
+        rng: Optional[jax.Array] = None,
+    ):
+        a = self.args
+        rng = rng if rng is not None else jax.random.PRNGKey(a.seed)
+        rows = []
+        if a.save_x0 and x0 is not None:
+            rows.append(np.asarray(x0))
+        if a.save_x_origin:
+            gen = engine.make_generate(
+                self.spec, self.schedule, seq,
+                t_addnoise=self.t_addnoise if a.origin_process_addnoise else -1,
+                sample_type=a.sample_type, compute_dtype=self.compute_dtype,
+            )
+            x, _ = gen(params, jnp.asarray(x_lat), rng)
+            rows.append(np.asarray(x))
+
+        harvested = None
+        if not getattr(a, "pass_editing", False) and edit is not None:
+            delta_times = None
+            if edit.mode == "input" and not a.ignore_timesteps:
+                delta_times = getattr(edit, "_times", None) or list(seq)
+            run = engine.make_edit_generate(
+                self.spec, self.schedule, seq,
+                t_edit=self.t_edit, t_addnoise=self.t_addnoise,
+                delta_times=delta_times, ignore_timesteps=a.ignore_timesteps,
+                sample_type=a.sample_type, dt_lambda=a.dt_lambda,
+                dt_end=a.dt_end, compute_dtype=self.compute_dtype,
+                collect=("delta_h",) if collect_delta else (),
+            )
+            for coeff in hs_coeff_list or [tuple(np.asarray(edit.hs_coeff))]:
+                e = dataclasses.replace(edit, hs_coeff=jnp.asarray(coeff, jnp.float32))
+                x, ys = run(params, e, jnp.asarray(x_lat), rng)
+                rows.append(np.asarray(x))
+                if collect_delta:
+                    harvested = np.asarray(ys["delta_h"])  # [S, B, h, w, C]
+
+        grid = np.concatenate(rows, axis=0)
+        out = os.path.join(folder, f"{file_name}_ngen{a.n_train_step}.png")
+        save_image(grid, out, nrow=max(1, x_lat.shape[0]), pm1=True)
+        log.info("%s saved (%d rows)", out, len(rows))
+        return harvested
+
+    def _test_sweep(self, params, edit, seq_test):
+        a = self.args
+        pairs = self.get_pairs(params, "test")
+        folder = self._dir(os.path.join(a.exp, "test_images"))
+        for ofs in range(0, min(a.n_test_img, pairs["x_lat"].shape[0]), a.bs_train):
+            xb = pairs["x_lat"][ofs : ofs + a.bs_train]
+            x0b = pairs["x0"][ofs : ofs + a.bs_train]
+            if xb.shape[0] != a.bs_train:
+                break
+            self.save_grid(
+                params, edit, xb, seq_test,
+                file_name=f"test_{ofs}_{a.n_iter - 1}", folder=folder, x0=x0b,
+            )
+
+    # ------------------------------------------------------------------
+    # inference (run_test, diffusion_latent.py:547-874)
+    # ------------------------------------------------------------------
+    def run_test(self):
+        a = self.args
+        self.set_interval()
+        seq_train, _ = train_seq(a.n_train_step, a.t_0, self.t_edit)
+        seq_test = uniform_seq(a.n_test_step, a.t_0)
+        seq_test_edit = [t for t in seq_test if t >= self.t_edit]
+        params = self.load_pretrained()
+
+        scaling = a.n_train_step / a.n_test_step * a.hs_coeff_delta_h
+
+        # checkpoint resolution (diffusion_latent.py:594-610)
+        if getattr(a, "manual_checkpoint_name", None):
+            save_names = [os.path.join(self._dir("checkpoint"), a.manual_checkpoint_name)]
+        elif getattr(a, "choose_checkpoint_num", None):
+            save_names = [self._ckpt_path(a.n_iter - 1, a.choose_checkpoint_num)]
+        else:
+            save_names = [self._ckpt_path(a.n_iter - 1)]
+
+        # multi-attribute (diffusion_latent.py:630-655)
+        if getattr(a, "multiple_attr", None):
+            attrs = a.multiple_attr.split(" ")
+            coeffs = [1.0] * len(attrs)
+            if getattr(a, "multiple_hs_coeff", None):
+                given = [float(c) for c in a.multiple_hs_coeff.split(" ")]
+                coeffs = given + [1.0] * (len(attrs) - len(given))
+            save_names = [save_names[0].replace("attribute", attr) for attr in attrs]
+            max_cos, max_attr = 0.0, attrs[0]
+            if self.clip_ctx is not None:
+                for attr in attrs:
+                    s, t = assets.src_trg_prompts()[attr]
+                    c = self.clip_ctx.text_cosine(s, t)
+                    if c > max_cos:
+                        max_cos, max_attr = c, attr
+            self.src_txts, self.trg_txts = assets.src_trg_prompts()[max_attr]
+            self.set_interval()
+            hs_coeff = tuple(
+                [1.0 * a.hs_coeff_origin_h]
+                + [(1.0 / len(attrs) ** 0.5) * scaling * c for c in coeffs]
+            )
+        else:
+            hs_coeff = (1.0 * a.hs_coeff_origin_h, 1.0 * scaling)
+
+        # load Δ checkpoint(s)
+        edit = None
+        mean_dh_pending = getattr(a, "num_mean_of_delta_hs", 0)
+        latent_path = os.path.join(
+            self._dir("checkpoint_latent"),
+            f"{os.path.split(a.exp)[-1]}_{a.n_test_step}_{mean_dh_pending}.pth",
+        )
+        if mean_dh_pending and os.path.isfile(latent_path):
+            loaded = delta_ckpt.load_delta_checkpoint(latent_path)
+            edit = self._edit_from_rows(loaded["delta_rows"], hs_coeff, seq_test)
+            mean_dh_pending = 0
+        elif os.path.exists(save_names[0]):
+            if a.train_delta_block:
+                blocks = []
+                for name in save_names:
+                    loaded = delta_ckpt.load_delta_checkpoint(name)
+                    blocks.append(jax.tree.map(jnp.asarray, loaded["blocks"][0]))
+                edit = EditState(
+                    blocks=tuple(blocks), hs_coeff=jnp.asarray(hs_coeff, jnp.float32),
+                    flavor=self.spec.delta_flavor, ignore_timestep=a.ignore_timesteps,
+                )
+            elif a.train_delta_h:
+                loaded = delta_ckpt.load_delta_checkpoint(save_names[0])
+                rows_dict = loaded["delta_rows"]
+                # train→test grid remap (diffusion_latent.py:700-723)
+                if a.ignore_timesteps:
+                    remapped = {0: rows_dict[0]}
+                elif a.n_train_step != a.n_test_step:
+                    remapped, idx = {}, 0
+                    interval = seq_train[1] - seq_train[0] if len(seq_train) > 1 else 0
+                    for t in seq_test_edit:
+                        remapped[t] = rows_dict[seq_train[idx]]
+                        if t > seq_train[idx] - interval and idx < len(seq_train) - 1:
+                            idx += 1
+                else:
+                    remapped = rows_dict
+                edit = self._edit_from_rows(remapped, hs_coeff, seq_test)
+        elif not mean_dh_pending:
+            raise FileNotFoundError(f"checkpoint({save_names[0]}) does not exist!")
+
+        if mean_dh_pending and edit is None:
+            # harvest mode: run with fresh DeltaBlocks? reference requires a
+            # trained block checkpoint; harvest uses its delta outputs.
+            raise FileNotFoundError(
+                "mean-of-delta-hs requested but no trained checkpoint found"
+            )
+
+        # interpolation sweeps (diffusion_latent.py:726-755)
+        hs_coeff_list = None
+        if getattr(a, "delta_interpolation", False):
+            vals = np.linspace(a.min_delta, a.max_delta, a.num_delta).tolist()
+            if getattr(a, "multiple_attr", None) and len(hs_coeff) == 3:
+                hs_coeff_list = [
+                    (1.0, v1 * hs_coeff[1], v2 * hs_coeff[2])
+                    for v1 in vals for v2 in vals
+                ]
+            else:
+                hs_coeff_list = [
+                    tuple([1.0] + [v * c for c in hs_coeff[1:]]) for v in vals
+                ]
+
+        pairs = self.get_pairs(params, "test" if a.do_test else "train")
+        folder = self._dir(os.path.join(a.exp, "test_images", str(a.n_test_step)))
+
+        harvest_sum: Optional[np.ndarray] = None
+        n_done = 0
+        n_img = a.n_test_img if a.do_test else a.n_train_img
+        for ofs in range(0, min(n_img, pairs["x_lat"].shape[0]), a.bs_train):
+            xb = pairs["x_lat"][ofs : ofs + a.bs_train]
+            x0b = pairs["x0"][ofs : ofs + a.bs_train]
+            if xb.shape[0] != a.bs_train:
+                break
+            h = self.save_grid(
+                params, edit, xb, seq_test,
+                file_name=f"{'test' if a.do_test else 'train'}_{ofs}_{a.n_iter - 1}",
+                folder=folder, hs_coeff_list=hs_coeff_list, x0=x0b,
+                collect_delta=bool(mean_dh_pending),
+            )
+            if mean_dh_pending and h is not None:
+                s = h.sum(axis=1)  # [S, h, w, C] summed over batch
+                harvest_sum = s if harvest_sum is None else harvest_sum + s
+                n_done += xb.shape[0]
+                if n_done >= mean_dh_pending:
+                    # per-t mean then global mean (diffusion_latent.py:810-835)
+                    from asyrp_official_tpu.core.steptable import generation_table
+
+                    tab = generation_table(seq_test, t_edit=self.t_edit)
+                    per_t = harvest_sum / n_done
+                    active = tab.use_delta > 0
+                    global_mean = per_t[active].mean(axis=0)
+                    rows = {int(t): per_t[i] for i, t in enumerate(tab.t) if active[i]}
+                    rows[0] = global_mean
+                    delta_ckpt.save_delta_checkpoint(latent_path, delta_rows=rows)
+                    log.info("mean-of-delta-h saved: %s", latent_path)
+                    mean_dh_pending = 0
+        return edit
+
+    def _edit_from_rows(self, rows_dict, hs_coeff, seq_test) -> EditState:
+        a = self.args
+        if a.ignore_timesteps:
+            rows = jnp.asarray(np.stack([rows_dict[0]]))
+            times = None
+        else:
+            times = [t for t in seq_test if t in rows_dict]
+            rows = jnp.asarray(np.stack([rows_dict[t] for t in times]))
+        e = EditState(
+            mode="input", delta_rows=rows,
+            hs_coeff=jnp.asarray(hs_coeff, jnp.float32),
+            input_style="add", ignore_timestep=a.ignore_timesteps,
+            use_mask=getattr(a, "masked_h", False) or getattr(a, "use_mask", False),
+        )
+        e._times = times
+        return e
+
+    # ------------------------------------------------------------------
+    # lpips stage (diffusion_latent.py:1190-1303)
+    # ------------------------------------------------------------------
+    def run_lpips(self):
+        from asyrp_official_tpu.pipelines.lpips_stage import compute_lpips_distance
+
+        a = self.args
+        if self.lpips_params is None:
+            raise RuntimeError(
+                "LPIPS weights required for the calibration stage "
+                "(inject lpips_params or convert the lpips package ckpts)"
+            )
+        params = self.load_pretrained()
+        d = self.config["data"]
+        paths = dict(getattr(a, "dataset_paths", {}) or {})
+        if d["category"] == "CUSTOM":
+            paths["custom_train"] = a.custom_train_dataset_dir
+            paths["custom_test"] = a.custom_test_dataset_dir
+        train_ds, _ = data.get_dataset(
+            d["dataset"], paths, category=d["category"], image_size=d["image_size"]
+        )
+        name = getattr(a, "custom_dataset_name", None) or _dataset_key(self.config)
+        return compute_lpips_distance(
+            self.spec, params, self.schedule, train_ds, self.lpips_params,
+            n_img=a.n_train_img, n_inv_step=a.n_inv_step, t_0=a.t_0,
+            batch_size=a.bs_train, out_dir=self._dir("utils"),
+            dataset_name=name, compute_dtype=self.compute_dtype,
+        )

@@ -27,6 +27,15 @@ def log(*a):
 
 def main():
     import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        log_early = f"compilation cache unavailable: {e}"
+        print(log_early, file=sys.stderr)
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -50,9 +59,7 @@ def main():
     # pack the 450 param leaves into ONE device buffer: per-buffer dispatch
     # marshalling otherwise dominates (measured 2630 ms → 12.8 ms per call)
     spec = PackedSpec(spec, params)
-    with jax.default_device(jax.devices("cpu")[0]):
-        flat = spec.pack(params)
-    params = jax.device_put(flat, dev)
+    params = jax.device_put(jnp.asarray(spec.packer.pack_numpy(params)), dev)
     log(f"flagship params: {n_params/1e6:.1f}M (init {time.perf_counter()-t0:.1f}s)")
 
     compute_dtype = jnp.bfloat16
@@ -69,7 +76,7 @@ def main():
 
     best = 0.0
     best_bsz = 0
-    for bsz in (1, 4, 8):
+    for bsz in (8,):
         x = jnp.asarray(np.random.RandomState(0).randn(bsz, 256, 256, 3), jnp.float32)
         t = jnp.full((bsz,), 500.0, jnp.float32)
         force(fwd(params, x, t))  # compile + warmup
