@@ -195,6 +195,7 @@ class EditState:
     use_delta: jnp.ndarray = 1.0
     delta_idx: jnp.ndarray = 0
     clip_direction: Optional[jnp.ndarray] = None
+    alpha: Optional[jnp.ndarray] = None  # [B] for 'interp_batch'
     mode: str = "deltablock"
     flavor: str = "ddpm"
     ignore_timestep: bool = False
@@ -217,6 +218,7 @@ jax.tree_util.register_dataclass(
         "use_delta",
         "delta_idx",
         "clip_direction",
+        "alpha",
     ],
     meta_fields=["mode", "flavor", "ignore_timestep", "use_mask", "input_style"],
 )
@@ -263,6 +265,15 @@ def apply_edit(edit: EditState, h: jnp.ndarray, temb: jnp.ndarray):
             edit.blocks[0], h, temb, edit.clip_direction
         )
         h2 = h + delta_h
+    elif edit.mode == "interp_batch":
+        # batch-endpoint h interpolation (`interpolation2`,
+        # models/ddpm/diffusion.py:761-832): every sample becomes
+        # (1-alpha)·h[0] + alpha·h[-1]
+        a = edit.alpha.reshape((-1,) + (1,) * (h.ndim - 1)).astype(h.dtype)
+        h0 = jnp.broadcast_to(h[:1], h.shape)
+        h1 = jnp.broadcast_to(h[-1:], h.shape)
+        h2 = (1.0 - a) * h0 + a * h1
+        delta_h = None
     else:
         raise ValueError(f"unknown edit mode: {edit.mode}")
 

@@ -1,0 +1,94 @@
+"""Fused GroupNorm(+affine)+SiLU(+residual) Pallas kernel.
+
+For feature maps whose per-sample tile fits VMEM (everything at/below
+64x64xC in these UNets), the whole resblock epilogue — group statistics,
+normalize, affine, SiLU, optional residual add — runs in ONE kernel with a
+single HBM round-trip. Larger maps fall back to the XLA path
+(models/common.group_norm), which XLA fuses well on its own.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from asyrp_official_tpu.models import common as cm
+
+__all__ = ["fused_groupnorm_silu", "gn_kernel_applicable"]
+
+_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def gn_kernel_applicable(h: int, w: int, c: int, dtype_bytes: int = 4) -> bool:
+    need = 3 * h * w * c * dtype_bytes
+    return need <= _VMEM_BUDGET and (h * w) % 8 == 0 and c % 128 == 0
+
+
+def _gn_silu_kernel(
+    x_ref, scale_ref, bias_ref, o_ref, *, groups: int, eps: float,
+    with_silu: bool,
+):
+    _, t, c = x_ref.shape  # (1, H*W, C)
+    cg = c // groups
+    x = x_ref[0].astype(jnp.float32)  # [T, C]
+    xg = x.reshape(t, groups, cg)
+    mean = jnp.mean(xg, axis=(0, 2), keepdims=True)
+    var = jnp.mean((xg - mean) ** 2, axis=(0, 2), keepdims=True)
+    xn = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(t, c)
+    y = xn * scale_ref[0] + bias_ref[0]
+    if with_silu:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("groups", "eps", "with_silu", "interpret")
+)
+def _pallas_gn_silu(x, scale, bias, *, groups, eps, with_silu, interpret):
+    b, h, w, c = x.shape
+    t = h * w
+    xf = x.reshape(b, t, c)
+    scale2 = scale.reshape(1, c).astype(jnp.float32)
+    bias2 = bias.reshape(1, c).astype(jnp.float32)
+    kernel = functools.partial(
+        _gn_silu_kernel, groups=groups, eps=eps, with_silu=with_silu
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(xf, scale2, bias2)
+    return out.reshape(b, h, w, c)
+
+
+def fused_groupnorm_silu(
+    p, x, *, groups: int = 32, eps: float = 1e-6, with_silu: bool = True,
+    force: Optional[str] = None,
+):
+    """GroupNorm + optional SiLU on NHWC x. Auto-dispatches Pallas/XLA."""
+    mode = force or os.environ.get("ASYRP_TPU_GN", "auto")
+    b, h, w, c = x.shape
+    if mode != "xla":
+        on_tpu = jax.default_backend() == "tpu"
+        if (mode in ("pallas", "interpret") or on_tpu) and gn_kernel_applicable(h, w, c):
+            return _pallas_gn_silu(
+                x, p["scale"], p["bias"], groups=groups, eps=eps,
+                with_silu=with_silu,
+                interpret=(mode == "interpret") or not on_tpu,
+            )
+    y = cm.group_norm(p, x, groups=groups, eps=eps)
+    return cm.swish(y) if with_silu else y

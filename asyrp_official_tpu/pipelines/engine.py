@@ -165,6 +165,43 @@ def make_edit_generate(
     return run
 
 
+def make_image_noise_generate(
+    spec: ModelSpec,
+    schedule: Schedule,
+    seq,
+    *,
+    t_edit: int,
+    t_addnoise: int = -1,
+    coeff: float = 1.0,
+    compute_dtype=jnp.float32,
+) -> Callable:
+    """Image-space noise optimization mode (`--image_space_noise_optim`):
+    eps_mod = eps + noise_param·coeff for t >= t_edit — the reference's
+    image-space hook in denoising_step (utils/diffusion_utils.py:55-63,
+    Parameter branch). Returns fn(params, noise_param, x_lat, rng); grads
+    flow to `noise_param` ([H, W, C])."""
+    table = generation_table(seq, t_edit=t_edit, t_addnoise=t_addnoise)
+
+    @jax.jit
+    def run(params, noise_param, x_lat, rng):
+        def eps_fn(x, t, aux):
+            eps_raw, *_ = spec.apply(params, x.astype(compute_dtype), t)
+            if spec.learn_sigma:
+                eps_raw = eps_raw[..., : eps_raw.shape[-1] // 2]
+            eps = eps_raw.astype(jnp.float32)
+            eps_mod = eps + noise_param[None].astype(jnp.float32) * coeff
+            eps_mod = (
+                aux["use_delta"] * eps_mod + (1.0 - aux["use_delta"]) * eps
+            )
+            return eps, eps_mod
+
+        return sample_chain(
+            eps_fn, schedule, table, x_lat, rng=rng, learn_sigma=False,
+        )
+
+    return run
+
+
 def make_invert_with_h(
     spec: ModelSpec,
     schedule: Schedule,

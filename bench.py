@@ -18,6 +18,10 @@ import os
 import sys
 import time
 
+# XLA's cpu_aot_loader writes machine-feature warnings to STDOUT, which
+# would corrupt the one-JSON-line output contract — silence C++ logging.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 REFERENCE_TORCH_CPU_EVALS_PER_SEC = 0.1514
 
 
