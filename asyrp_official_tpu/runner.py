@@ -336,8 +336,35 @@ class AsyrpRunner:
             save_name = self._ckpt_path(it_out)
             if not a.retrain and os.path.exists(save_name):
                 log.info("%s exists; loading checkpoint and skipping iter", save_name)
-                loaded = delta_ckpt.load_delta_checkpoint(save_name)
-                edit = self._apply_loaded_delta(edit, loaded, seq_train)
+                # prefer the native orbax sidecar (restores optimizer state
+                # bit-exactly); fall back to the .pth Δ params alone
+                try:
+                    from asyrp_official_tpu.pipelines.checkpoint import load_train_state
+
+                    trainable0 = edit.blocks if train_target == "blocks" else edit.delta_rows
+                    restored = load_train_state(
+                        save_name + ".orbax",
+                        like={
+                            "trainable": trainable0,
+                            "opt_state": opt_state,
+                            "meta": {"it_out": np.asarray(0)},
+                        },
+                    )
+                except Exception:
+                    restored = None
+                if restored is not None:
+                    opt_state = restored["opt_state"]
+                    if train_target == "blocks":
+                        edit = dataclasses.replace(
+                            edit, blocks=tuple(restored["trainable"])
+                        )
+                    else:
+                        edit = dataclasses.replace(
+                            edit, delta_rows=restored["trainable"]
+                        )
+                else:
+                    loaded = delta_ckpt.load_delta_checkpoint(save_name)
+                    edit = self._apply_loaded_delta(edit, loaded, seq_train)
                 continue
             lr = tr.steplr_lr(a.lr_training, it_out, a.scheduler_step_size, a.sch_gamma)
             losses = []
@@ -352,6 +379,17 @@ class AsyrpRunner:
                     self._save_delta(edit, self._ckpt_path(it_out, len(losses)), train_target, seq_train)
             log.info("iter %d: mean loss %.4f (lr %.4g)", it_out, float(np.mean(losses or [0.0])), lr)
             self._save_delta(edit, save_name, train_target, seq_train)
+            try:
+                from asyrp_official_tpu.pipelines.checkpoint import save_train_state
+
+                save_train_state(
+                    save_name + ".orbax",
+                    trainable=edit.blocks if train_target == "blocks" else edit.delta_rows,
+                    opt_state=opt_state,
+                    it_out=it_out,
+                )
+            except Exception as e:  # orbax is optional for .pth-only flows
+                log.warning("orbax sidecar save failed: %s", e)
             if a.save_checkpoint_only_last_iter and it_out > 0:
                 prev = self._ckpt_path(it_out - 1)
                 if os.path.exists(prev):

@@ -67,6 +67,20 @@ def snr_curve(dataset: str) -> np.ndarray:
     return tab
 
 
+def compute_snr_table(alphas_cumprod: np.ndarray) -> np.ndarray:
+    """Analytic per-timestep SNR: ᾱ_t / (1 − ᾱ_t) — reproduces the shipped
+    `*_SNR.tsv` tables (e.g. celeba t=0: 9999.0)."""
+    acp = np.asarray(alphas_cumprod, np.float64)
+    return acp / (1.0 - acp)
+
+
+def write_snr_tsv(out_dir: str, dataset: str, snr: np.ndarray) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, f"{dataset}_SNR.tsv"), "w") as f:
+        for v in snr:
+            f.write(f"{v}\n")
+
+
 def write_lpips_tsv(
     out_dir: str, dataset: str, curves: Dict[str, Dict[int, float]]
 ) -> None:

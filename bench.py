@@ -32,14 +32,8 @@ def log(*a):
 def main():
     import jax
 
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception as e:
-        log_early = f"compilation cache unavailable: {e}"
-        print(log_early, file=sys.stderr)
-
+    # NOTE: the persistent compilation cache is intentionally NOT enabled —
+    # with the axon remote-compile tunnel it stalled compiles indefinitely.
     import jax.numpy as jnp
     import numpy as np
 

@@ -1,0 +1,75 @@
+"""Aux utilities: alignment geometry, SNR tables, profiling, download registry."""
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax.numpy as jnp
+
+from asyrp_official_tpu.core.schedule import make_schedule
+from asyrp_official_tpu.utils import assets
+from asyrp_official_tpu.utils.align import align_face_from_landmarks, run_alignment
+from asyrp_official_tpu.utils.profiling import Timer, force, throughput
+
+
+def _synthetic_landmarks():
+    """Plausible 68-point layout on a 200x200 face."""
+    lm = np.zeros((68, 2))
+    lm[36:42] = [70, 80] + np.random.RandomState(0).rand(6, 2) * 6  # left eye
+    lm[42:48] = [130, 80] + np.random.RandomState(1).rand(6, 2) * 6  # right eye
+    lm[48:60] = [100, 140] + np.random.RandomState(2).rand(12, 2) * 14  # mouth
+    return lm
+
+
+def test_align_face_geometry():
+    img = Image.fromarray(
+        (np.random.RandomState(0).rand(200, 200, 3) * 255).astype(np.uint8)
+    )
+    out = align_face_from_landmarks(img, _synthetic_landmarks(), output_size=256)
+    assert out.size == (256, 256)
+
+
+def test_run_alignment_gated_without_dlib(tmp_path):
+    p = str(tmp_path / "f.png")
+    Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(p)
+    with pytest.raises(ImportError):
+        run_alignment(p)
+    # works with explicit landmarks
+    out = run_alignment(p, landmarks=_synthetic_landmarks())
+    assert out.size == (256, 256)
+
+
+def test_snr_table_matches_shipped():
+    sched = make_schedule()
+    snr = assets.compute_snr_table(sched.alphas_cumprod)
+    shipped = assets.snr_curve("celeba")
+    # first value 9999.0 and whole curve within float tolerance
+    assert snr[0] == pytest.approx(9999.0, rel=1e-3)
+    np.testing.assert_allclose(snr[:100], shipped[:100], rtol=2e-3)
+
+
+def test_timer_and_throughput():
+    import jax
+
+    f = jax.jit(lambda x: x * 2.0)
+    x = jnp.ones((8, 8))
+    tput = throughput(f, (x,), iters=3, batch_axis_size=8, chain_index=0)
+    assert tput > 0
+    t = Timer()
+    with t.section("mul", result=f(x)):
+        pass
+    assert "mul" in t.summary()
+
+
+def test_download_registry():
+    from asyrp_official_tpu.utils.download import GDRIVE_NOTES
+    from asyrp_official_tpu.models.registry import PRETRAINED_URLS
+
+    assert "CelebA_HQ" in PRETRAINED_URLS
+    assert "IMAGENET" in GDRIVE_NOTES
+
+
+def test_prepare_lmdb_gated():
+    from asyrp_official_tpu.data.prepare_lmdb import prepare
+
+    with pytest.raises(ImportError):
+        prepare("/tmp/nope", "/tmp")
