@@ -178,13 +178,18 @@ def _mat(p, x):
     ).astype(x.dtype) + p["b"].astype(x.dtype)
 
 
+def _gn_silu(p, x):
+    """GroupNorm+SiLU — Pallas-fused when the map fits VMEM (ops/groupnorm)."""
+    from asyrp_official_tpu.ops.groupnorm import fused_groupnorm_silu
+
+    return fused_groupnorm_silu(p, x, eps=1e-6)
+
+
 def _resblock(p, x, temb):
-    h = cm.group_norm(p["norm1"], x, eps=1e-6)
-    h = cm.swish(h)
+    h = _gn_silu(p["norm1"], x)
     h = cm.conv2d(p["conv1"], h)
     h = h + cm.linear(p["temb_proj"], cm.swish(temb))[:, None, None, :]
-    h = cm.group_norm(p["norm2"], h, eps=1e-6)
-    h = cm.swish(h)
+    h = _gn_silu(p["norm2"], h)
     h = cm.conv2d(p["conv2"], h)
     if "nin_shortcut" in p:
         x = _mat(p["nin_shortcut"], x)
@@ -194,13 +199,15 @@ def _resblock(p, x, temb):
 
 
 def _attn(p, x):
+    from asyrp_official_tpu.ops.attention import fused_attention
+
     b, hh, ww, c = x.shape
     h_ = cm.group_norm(p["norm"], x, eps=1e-6)
     flat = h_.reshape(b, hh * ww, c)
     q = cm.linear(p["q"], flat)
     k = cm.linear(p["k"], flat)
     v = cm.linear(p["v"], flat)
-    out = cm.spatial_attention(q, k, v, num_heads=1, legacy_scale=False)
+    out = fused_attention(q, k, v, num_heads=1, legacy_scale=False)
     out = cm.linear(p["proj_out"], out).reshape(b, hh, ww, c)
     return x + out
 
@@ -249,8 +256,7 @@ def _decode(params, cfg, h, hs, temb):
                 h = _attn(lvl["attn"][i_block], h)
         if "upsample" in lvl:
             h = cm.conv2d(lvl["upsample"], cm.upsample_nearest_2x(h))
-    h = cm.group_norm(params["norm_out"], h, eps=1e-6)
-    h = cm.swish(h)
+    h = _gn_silu(params["norm_out"], h)
     return cm.conv2d(params["conv_out"], h)
 
 

@@ -30,17 +30,26 @@ def gn_kernel_applicable(h: int, w: int, c: int, dtype_bytes: int = 4) -> bool:
 
 
 def _gn_silu_kernel(
-    x_ref, scale_ref, bias_ref, o_ref, *, groups: int, eps: float,
+    x_ref, scale_ref, bias_ref, g_ref, o_ref, *, groups: int, eps: float,
     with_silu: bool,
 ):
+    """Group stats WITHOUT lane-dim reshapes (Mosaic rejects C→(G,cg) shape
+    casts): per-group mean/var via matmuls against the [C, G] group
+    indicator, broadcast back with its transpose — everything stays [T, C]."""
     _, t, c = x_ref.shape  # (1, H*W, C)
     cg = c // groups
     x = x_ref[0].astype(jnp.float32)  # [T, C]
-    xg = x.reshape(t, groups, cg)
-    mean = jnp.mean(xg, axis=(0, 2), keepdims=True)
-    var = jnp.mean((xg - mean) ** 2, axis=(0, 2), keepdims=True)
-    xn = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(t, c)
-    y = xn * scale_ref[0] + bias_ref[0]
+    g = g_ref[:]  # [C, G] indicator
+    n = float(t * cg)
+    colsum = jnp.sum(x, axis=0, keepdims=True)  # [1, C]
+    sqsum = jnp.sum(x * x, axis=0, keepdims=True)
+    gmean = jnp.dot(colsum, g, preferred_element_type=jnp.float32) / n  # [1, G]
+    gex2 = jnp.dot(sqsum, g, preferred_element_type=jnp.float32) / n
+    gvar = gex2 - gmean * gmean
+    ginv = jax.lax.rsqrt(gvar + eps)
+    mean_c = jnp.dot(gmean, g.T, preferred_element_type=jnp.float32)  # [1, C]
+    inv_c = jnp.dot(ginv, g.T, preferred_element_type=jnp.float32)
+    y = (x - mean_c) * inv_c * scale_ref[0] + bias_ref[0]
     if with_silu:
         y = y * jax.nn.sigmoid(y)
     o_ref[0] = y.astype(o_ref.dtype)
@@ -55,6 +64,13 @@ def _pallas_gn_silu(x, scale, bias, *, groups, eps, with_silu, interpret):
     xf = x.reshape(b, t, c)
     scale2 = scale.reshape(1, c).astype(jnp.float32)
     bias2 = bias.reshape(1, c).astype(jnp.float32)
+    # [C, G] group-indicator matrix (host constant)
+    import numpy as np
+
+    gmat = np.zeros((c, groups), np.float32)
+    cg = c // groups
+    for gi in range(groups):
+        gmat[gi * cg : (gi + 1) * cg, gi] = 1.0
     kernel = functools.partial(
         _gn_silu_kernel, groups=groups, eps=eps, with_silu=with_silu
     )
@@ -66,12 +82,13 @@ def _pallas_gn_silu(x, scale, bias, *, groups, eps, with_silu, interpret):
             pl.BlockSpec((1, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, groups), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(xf, scale2, bias2)
+    )(xf, scale2, bias2, jnp.asarray(gmat))
     return out.reshape(b, h, w, c)
 
 

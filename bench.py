@@ -75,8 +75,13 @@ def main():
     best = 0.0
     best_bsz = 0
     for bsz in (8,):
-        x = jnp.asarray(np.random.RandomState(0).randn(bsz, 256, 256, 3), jnp.float32)
-        t = jnp.full((bsz,), 500.0, jnp.float32)
+        # inputs MUST be explicitly committed (device_put) — uncommitted
+        # arrays take a ~50x slower dispatch path through the axon relay
+        x = jax.device_put(
+            jnp.asarray(np.random.RandomState(0).randn(bsz, 256, 256, 3), jnp.float32),
+            dev,
+        )
+        t = jax.device_put(jnp.full((bsz,), 500.0, jnp.float32), dev)
         force(fwd(params, x, t))  # compile + warmup
         iters = 10
         t0 = time.perf_counter()
@@ -105,7 +110,10 @@ def main():
             spec, sched, seq, t_edit=516, t_addnoise=200,
             compute_dtype=compute_dtype,
         )
-        x = jnp.asarray(np.random.RandomState(1).randn(1, 256, 256, 3), jnp.float32)
+        x = jax.device_put(
+            jnp.asarray(np.random.RandomState(1).randn(1, 256, 256, 3), jnp.float32),
+            dev,
+        )
         x_lat, _ = invert(params, x)
         out, _ = gen(params, edit, x_lat, jax.random.PRNGKey(0))
         force(out)  # compile
