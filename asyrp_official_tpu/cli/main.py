@@ -39,7 +39,7 @@ VESTIGIAL_FLAGS = [
     "l1_loss_with_x0", "pass_origin_and_save_real_image",
     "style_transfer_use_mean", "analysis", "run_optimize_delta_h",
     "run_test_pretrained_self_delta_h", "test_pretrained_at_once",
-    "align_face", "hybrid_noise", "deterministic_inv", "diff_style",
+    "align_face", "hybrid_noise", "deterministic_inv",
 ]
 
 
@@ -52,6 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
     add("--run_test", action="store_true")
     add("--lpips", action="store_true")
     add("--just_precompute", action="store_true")
+    add("--diff_style", action="store_true", help="h-space style transfer")
 
     # config / experiment
     add("--config", type=str, required=True, help="config yml name or path")
@@ -151,6 +152,15 @@ def build_parser() -> argparse.ArgumentParser:
     add("--model_ratio", type=float, default=1.0)
     add("--save_grid", action="store_true")
 
+    # DiffStyle (reference parses these, main.py:117-127; dispatched here)
+    add("--content_dir", type=str, default="contents")
+    add("--style_dir", type=str, default="styles")
+    add("--save_dir", type=str, default=None)
+    add("--n_gen_step", type=int, default=0)
+    add("--content_replace_step", type=int, default=0)
+    add("--hs_coeff", type=float, default=0.9)
+    add("--t_noise", type=int, default=0)
+
     # paths / weights
     add("--model_path", type=str, default=None)
     add("--img_path", type=str, default=None)
@@ -246,6 +256,8 @@ def main(argv=None):
             runner.run_test()
         elif args.lpips:
             runner.run_lpips()
+        elif args.diff_style:
+            runner.run_style_transfer()
         else:
             print("nothing to do: pass --run_train / --run_test / --lpips")
             return 1

@@ -165,6 +165,42 @@ def make_edit_generate(
     return run
 
 
+def make_invert_edit(
+    spec: ModelSpec,
+    schedule: Schedule,
+    seq_inv,
+    seq_gen,
+    *,
+    t_edit: int,
+    t_addnoise: int = -1,
+    delta_times=None,
+    ignore_timesteps: bool = False,
+    compute_dtype=jnp.float32,
+) -> Callable:
+    """Serving fast path: DDIM inversion + asymmetric edited generation in
+    ONE jitted call (one dispatch, one compiled program). Returns
+    fn(params, edit, x0, rng) -> x_edited."""
+    inv_table = inversion_table(seq_inv)
+    gen_table = generation_table(
+        seq_gen, t_edit=t_edit, t_addnoise=t_addnoise,
+        delta_times=delta_times, ignore_timesteps=ignore_timesteps,
+    )
+
+    @jax.jit
+    def run(params, edit, x0, rng):
+        x_lat, _ = sample_chain(
+            _plain_eps(spec, params, compute_dtype), schedule, inv_table, x0,
+            learn_sigma=spec.learn_sigma,
+        )
+        x_edit, _ = sample_chain(
+            _edited_eps(spec, params, edit, compute_dtype), schedule,
+            gen_table, x_lat, rng=rng, learn_sigma=spec.learn_sigma,
+        )
+        return x_edit
+
+    return run
+
+
 def make_image_noise_generate(
     spec: ModelSpec,
     schedule: Schedule,

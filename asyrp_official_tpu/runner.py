@@ -331,6 +331,10 @@ class AsyrpRunner:
 
         x_lat_all = pairs["x_lat"][: a.n_train_img]
         x0_all = pairs["x0"][: a.n_train_img]
+        target_ids = self._parse_target_ids(getattr(a, "target_image_id", None))
+        if target_ids is not None:  # diffusion_latent.py:265-268
+            keep = [i for i in range(x_lat_all.shape[0]) if i in target_ids]
+            x_lat_all, x0_all = x_lat_all[keep], x0_all[keep]
 
         for it_out in range(a.start_iter_when_you_use_pretrained, a.n_iter):
             save_name = self._ckpt_path(it_out)
@@ -450,22 +454,30 @@ class AsyrpRunner:
                 self.spec, self.schedule, seq,
                 t_addnoise=self.t_addnoise if a.origin_process_addnoise else -1,
                 sample_type=a.sample_type, compute_dtype=self.compute_dtype,
+                collect=("x", "x0_t") if getattr(a, "save_process_origin", False) else (),
             )
-            x, _ = gen(params, jnp.asarray(x_lat), rng)
+            x, ys = gen(params, jnp.asarray(x_lat), rng)
             rows.append(np.asarray(x))
+            if getattr(a, "save_process_origin", False):
+                self._dump_process(ys, seq, folder, file_name, "origin")
 
         harvested = None
         if not getattr(a, "pass_editing", False) and edit is not None:
             delta_times = None
             if edit.mode == "input" and not a.ignore_timesteps:
                 delta_times = getattr(edit, "_times", None) or list(seq)
+            collect = ()
+            if collect_delta:
+                collect += ("delta_h",)
+            if getattr(a, "save_process_delta_h", False):
+                collect += ("x", "x0_t")
             run = engine.make_edit_generate(
                 self.spec, self.schedule, seq,
                 t_edit=self.t_edit, t_addnoise=self.t_addnoise,
                 delta_times=delta_times, ignore_timesteps=a.ignore_timesteps,
                 sample_type=a.sample_type, dt_lambda=a.dt_lambda,
                 dt_end=a.dt_end, compute_dtype=self.compute_dtype,
-                collect=("delta_h",) if collect_delta else (),
+                collect=collect,
             )
             for coeff in hs_coeff_list or [tuple(np.asarray(edit.hs_coeff))]:
                 e = dataclasses.replace(edit, hs_coeff=jnp.asarray(coeff, jnp.float32))
@@ -473,12 +485,37 @@ class AsyrpRunner:
                 rows.append(np.asarray(x))
                 if collect_delta:
                     harvested = np.asarray(ys["delta_h"])  # [S, B, h, w, C]
+                if getattr(a, "save_process_delta_h", False):
+                    self._dump_process(ys, seq, folder, file_name, "delta_h")
 
         grid = np.concatenate(rows, axis=0)
         out = os.path.join(folder, f"{file_name}_ngen{a.n_train_step}.png")
         save_image(grid, out, nrow=max(1, x_lat.shape[0]), pm1=True)
         log.info("%s saved (%d rows)", out, len(rows))
         return harvested
+
+    def _dump_process(self, ys, seq, folder, file_name, tag):
+        """Per-step [x; x0_t] grids (diffusion_latent.py:485-489, 523-527)."""
+        from asyrp_official_tpu.core.steptable import generation_table
+
+        out_dir = os.path.join(folder, file_name)
+        os.makedirs(out_dir, exist_ok=True)
+        ts = generation_table(seq).t
+        xs, x0s = np.asarray(ys["x"]), np.asarray(ys["x0_t"])
+        for i, t in enumerate(ts):
+            frame = np.concatenate([xs[i], x0s[i]], axis=0)
+            save_image(
+                frame, os.path.join(out_dir, f"{tag}_{int(t)}.png"),
+                nrow=xs.shape[1], pm1=True,
+            )
+
+    @staticmethod
+    def _parse_target_ids(target_image_id) -> Optional[List[int]]:
+        if not target_image_id:
+            return None
+        if isinstance(target_image_id, str):
+            return [int(i) for i in target_image_id.split(" ")]
+        return list(target_image_id)
 
     def _test_sweep(self, params, edit, seq_test):
         a = self.args
@@ -606,7 +643,12 @@ class AsyrpRunner:
         harvest_sum: Optional[np.ndarray] = None
         n_done = 0
         n_img = a.n_test_img if a.do_test else a.n_train_img
+        target_ids = self._parse_target_ids(getattr(a, "target_image_id", None))
         for ofs in range(0, min(n_img, pairs["x_lat"].shape[0]), a.bs_train):
+            if target_ids is not None and ofs not in target_ids:
+                continue  # diffusion_latent.py:781-784 (bs_train == 1 mode)
+            if getattr(a, "start_image_id", 0) > ofs:
+                continue  # diffusion_latent.py:785-786
             xb = pairs["x_lat"][ofs : ofs + a.bs_train]
             x0b = pairs["x0"][ofs : ofs + a.bs_train]
             if xb.shape[0] != a.bs_train:
@@ -652,6 +694,43 @@ class AsyrpRunner:
         )
         e._times = times
         return e
+
+    # ------------------------------------------------------------------
+    # DiffStyle (--diff_style; parsed-but-undispatched in the reference —
+    # built here from its surviving hooks, see pipelines/style_transfer.py)
+    # ------------------------------------------------------------------
+    def run_style_transfer(self):
+        from asyrp_official_tpu.pipelines.style_transfer import style_transfer
+
+        a = self.args
+        self.set_interval()
+        params = self.load_pretrained()
+        d = self.config["data"]
+        contents = data.ImageFolderDataset(a.content_dir, d["image_size"])
+        styles = data.ImageFolderDataset(a.style_dir, d["image_size"])
+        out_dir = self._dir(getattr(a, "save_dir", None) or os.path.join(a.exp, "style"))
+        n_gen = getattr(a, "n_gen_step", 0) or a.n_test_step
+        for ci in range(len(contents)):
+            for si in range(len(styles)):
+                stylized, _ = style_transfer(
+                    self.spec, params, self.schedule,
+                    jnp.asarray(contents[ci][None]),
+                    jnp.asarray(styles[si][None]),
+                    n_inv_step=a.n_inv_step, n_gen_step=n_gen, t_0=a.t_0,
+                    t_edit=self.t_edit,
+                    hs_coeff=getattr(a, "hs_coeff", 0.9),
+                    use_mask=getattr(a, "use_mask", False),
+                    dt_lambda=a.dt_lambda, dt_end=a.dt_end,
+                    content_replace_step=getattr(a, "content_replace_step", 0),
+                    rng=jax.random.PRNGKey(a.seed),
+                    compute_dtype=self.compute_dtype,
+                )
+                save_image(
+                    np.asarray(stylized),
+                    os.path.join(out_dir, f"content{ci}_style{si}.png"),
+                    pm1=True,
+                )
+        log.info("style transfer results in %s", out_dir)
 
     # ------------------------------------------------------------------
     # lpips stage (diffusion_latent.py:1190-1303)
