@@ -116,6 +116,44 @@ def prev_seq(seq: Sequence[int]) -> List[int]:
     return [-1] + list(seq[:-1])
 
 
+def space_timesteps(num_timesteps: int, section_counts) -> List[int]:
+    """DDIM-style timestep respacing (the vestigial
+    models/guided_diffusion/respace.py:7 capability): split [0, T) into
+    len(section_counts) sections and stride each to its count. Accepts
+    "ddimN" shorthand for an exact N-step uniform stride."""
+    if isinstance(section_counts, str):
+        if section_counts.startswith("ddim"):
+            n = int(section_counts[4:])
+            for stride in range(1, num_timesteps):
+                if len(range(0, num_timesteps, stride)) == n:
+                    return list(range(0, num_timesteps, stride))
+            raise ValueError(f"cannot create exactly {n} steps with an integer stride")
+        section_counts = [int(x) for x in section_counts.split(",")]
+    size_per = num_timesteps // len(section_counts)
+    extra = num_timesteps % len(section_counts)
+    start = 0
+    out: List[int] = []
+    for i, count in enumerate(section_counts):
+        size = size_per + (1 if i < extra else 0)
+        if size < count:
+            raise ValueError(f"cannot divide section of {size} steps into {count}")
+        stride = 1.0 if count <= 1 else (size - 1) / (count - 1)
+        cur = 0.0
+        for _ in range(count):
+            out.append(start + round(cur))
+            cur += stride
+        start += size
+    return out
+
+
+def update_ema(ema_tree, new_tree, rate: float = 0.999):
+    """EMA update (the vestigial models/improved_ddpm/nn.py:55-65
+    capability) for param pytrees: ema = rate·ema + (1-rate)·new."""
+    import jax
+
+    return jax.tree.map(lambda e, p: e * rate + p * (1.0 - rate), ema_tree, new_tree)
+
+
 def train_seq(n_train_step: int, t_0: int, t_edit: int) -> Tuple[List[int], List[int]]:
     """Training grid: uniform grid filtered to `>= t_edit`
     (diffusion_latent.py:152-161). Returns (seq_train, seq_train_next)."""

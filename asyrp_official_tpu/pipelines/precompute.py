@@ -125,6 +125,44 @@ def precompute_pairs(
     return pairs
 
 
+def precompute_with_h(
+    spec: ModelSpec,
+    params,
+    schedule: Schedule,
+    x0: np.ndarray,
+    *,
+    n_inv_step: int,
+    t_0: int = 999,
+    cache_key: Optional[str] = None,
+    category: str = "CUSTOM",
+    cache_dir: str = "precomputed",
+    compute_dtype=jnp.float32,
+) -> Dict[str, np.ndarray]:
+    """`precompute_pairs_with_h` (diffusion_latent.py:877-947): invert one
+    image recording the bottleneck h at every timestep (keyed by the pair's
+    source t). Cached as `{category}_inv{n}_{key}.npz`."""
+    base = None
+    if cache_key is not None:
+        base = os.path.join(cache_dir, f"{category}_inv{n_inv_step}_{cache_key}")
+        if os.path.exists(base + ".npz"):
+            d = np.load(base + ".npz")
+            return {k: d[k] for k in d.files}
+
+    seq = uniform_seq(n_inv_step, t_0)
+    run = engine.make_invert_with_h(spec, schedule, seq, compute_dtype=compute_dtype)
+    x_lat, h_traj = run(params, jnp.asarray(x0))
+    out = {
+        "x0": np.asarray(x0),
+        "x_lat": np.asarray(x_lat),
+        "h_traj": np.asarray(h_traj),          # [S-1, B, h, w, C]
+        "h_times": np.asarray(seq[:-1], np.int32),
+    }
+    if base is not None:
+        os.makedirs(os.path.dirname(base) or ".", exist_ok=True)
+        np.savez(base + ".npz", **out)
+    return out
+
+
 def random_noise_pairs(
     spec: ModelSpec,
     params,
