@@ -1,0 +1,136 @@
+"""End-to-end numerical parity: our compiled engines vs the torch reference
+running its own denoising_step loop on the same random-weight model.
+
+This catches wiring bugs the per-module parity tests can't: schedule
+gathers, step-table ordering, learn_sigma splits, edit gating, scaling.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from asyrp_official_tpu.compat.torch_convert import convert_ddpmpp, convert_delta_block
+from asyrp_official_tpu.core.schedule import make_schedule, uniform_seq
+from asyrp_official_tpu.models import ddpmpp
+from asyrp_official_tpu.models.delta import EditState
+from asyrp_official_tpu.models.registry import ModelSpec
+from asyrp_official_tpu.pipelines import engine
+
+CFG = ddpmpp.DDPMppConfig(
+    ch=32, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(16,), resolution=32
+)
+SPEC = ModelSpec("ddpmpp", CFG, False, "ddpm")
+SCHED = make_schedule()
+
+
+def _torch_setup(reference_path, with_delta=False):
+    import torch
+    from types import SimpleNamespace
+    from models.ddpm.diffusion import DDPM
+
+    config = SimpleNamespace(
+        model=SimpleNamespace(
+            ch=32, out_ch=3, ch_mult=[1, 2], num_res_blocks=1,
+            attn_resolutions=[16], dropout=0.0, in_channels=3,
+            resamp_with_conv=True,
+        ),
+        data=SimpleNamespace(image_size=32),
+    )
+    torch.manual_seed(0)
+    model = DDPM(config)
+    if with_delta:
+        torch.manual_seed(1)
+        model.setattr_layers(1)
+    model.eval()
+    return model
+
+
+def _torch_chain(reference_path, model, x0_nchw, seq, *, invert, index=None,
+                 t_edit=0, hs_coeff=(1.0, 1.0)):
+    """Run the REFERENCE denoising_step loop (utils/diffusion_utils.py)."""
+    import torch
+    from utils.diffusion_utils import denoising_step
+
+    betas = torch.from_numpy(SCHED.betas)
+    logvar = torch.from_numpy(SCHED.logvar)
+    x = torch.from_numpy(x0_nchw)
+    seq_next = [-1] + list(seq[:-1])
+    if invert:
+        pairs = list(zip(seq_next[1:], seq[1:]))  # ascending
+    else:
+        pairs = list(zip(reversed(seq), reversed(seq_next)))
+    with torch.no_grad():
+        for i, j in pairs:
+            t = torch.full((x.shape[0],), float(i))
+            tn = torch.full((x.shape[0],), float(j))
+            x, _, _, _ = denoising_step(
+                x, t=t, t_next=tn, models=model, logvars=logvar, b=betas,
+                sampling_type="ddim", eta=0.0, learn_sigma=False,
+                index=index, t_edit=t_edit, hs_coeff=hs_coeff,
+            )
+    return x.numpy()
+
+
+def test_inversion_chain_parity(reference_path):
+    model = _torch_setup(reference_path)
+    params = convert_ddpmpp(
+        {k: v.detach().numpy() for k, v in model.state_dict().items()}, CFG
+    )
+    seq = uniform_seq(5, 999)
+    x0 = np.random.RandomState(0).randn(2, 3, 32, 32).astype(np.float32) * 0.5
+
+    ref = _torch_chain(reference_path, model, x0, seq, invert=True)
+    invert = engine.make_invert(SPEC, SCHED, seq)
+    ours, _ = invert(params, jnp.asarray(np.transpose(x0, (0, 2, 3, 1))))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(ours), (0, 3, 1, 2)), ref, rtol=2e-3, atol=2e-3
+    )
+
+
+def test_generation_chain_parity(reference_path):
+    model = _torch_setup(reference_path)
+    params = convert_ddpmpp(
+        {k: v.detach().numpy() for k, v in model.state_dict().items()}, CFG
+    )
+    seq = uniform_seq(5, 999)
+    x_lat = np.random.RandomState(1).randn(1, 3, 32, 32).astype(np.float32)
+
+    ref = _torch_chain(reference_path, model, x_lat, seq, invert=False)
+    gen = engine.make_generate(SPEC, SCHED, seq)
+    ours, _ = gen(
+        params, jnp.asarray(np.transpose(x_lat, (0, 2, 3, 1))), jax.random.PRNGKey(0)
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(ours), (0, 3, 1, 2)), ref, rtol=2e-3, atol=2e-3
+    )
+
+
+def test_edited_generation_chain_parity(reference_path):
+    """The full Asyrp asymmetric edit over a trajectory — reference loop with
+    index=0 + DeltaBlock vs our compiled edit engine."""
+    model = _torch_setup(reference_path, with_delta=True)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_ddpmpp(sd, CFG)
+    block = convert_delta_block(sd, "layer_0")
+    seq = uniform_seq(5, 999)
+    t_edit = 400
+    x_lat = np.random.RandomState(2).randn(1, 3, 32, 32).astype(np.float32)
+
+    ref = _torch_chain(
+        reference_path, model, x_lat, seq, invert=False, index=0,
+        t_edit=t_edit, hs_coeff=(1.0, 1.0),
+    )
+    edit = EditState(
+        blocks=(jax.tree.map(jnp.asarray, block),),
+        hs_coeff=jnp.array([1.0, 1.0]),
+        flavor="ddpm",
+    )
+    run = engine.make_edit_generate(SPEC, SCHED, seq, t_edit=t_edit)
+    ours, _ = run(
+        params, edit, jnp.asarray(np.transpose(x_lat, (0, 2, 3, 1))),
+        jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(ours), (0, 3, 1, 2)), ref, rtol=2e-3, atol=2e-3
+    )
