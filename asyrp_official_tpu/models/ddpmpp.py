@@ -42,6 +42,9 @@ class DDPMppConfig:
     in_channels: int = 3
     resolution: int = 256
     resamp_with_conv: bool = True
+    # rematerialize resblocks under grad (jax.checkpoint) — trades FLOPs for
+    # activation memory when training Δ through the 256² dual decode
+    remat: bool = False
 
     @property
     def temb_ch(self) -> int:
@@ -221,12 +224,19 @@ def get_temb(params, cfg: DDPMppConfig, t):
     return temb
 
 
+def _block_fn(cfg):
+    if cfg.remat:
+        return jax.checkpoint(_resblock)
+    return _resblock
+
+
 def _encode(params, cfg, x, temb):
+    resblock = _block_fn(cfg)
     hs = [cm.conv2d(params["conv_in"], x)]
     for i_level in range(cfg.num_resolutions):
         lvl = params["down"][i_level]
         for i_block in range(cfg.num_res_blocks):
-            h = _resblock(lvl["block"][i_block], hs[-1], temb)
+            h = resblock(lvl["block"][i_block], hs[-1], temb)
             if lvl["attn"]:
                 h = _attn(lvl["attn"][i_block], h)
             hs.append(h)
@@ -243,11 +253,12 @@ def _middle(params, h, temb):
 
 
 def _decode(params, cfg, h, hs, temb):
+    resblock = _block_fn(cfg)
     hs = list(hs)  # fresh copy — decode owns its skip stack
     for i_level in reversed(range(cfg.num_resolutions)):
         lvl = params["up"][i_level]
         for i_block in range(cfg.num_res_blocks + 1):
-            h = _resblock(
+            h = resblock(
                 lvl["block"][i_block],
                 jnp.concatenate([h, hs.pop()], axis=-1),
                 temb,

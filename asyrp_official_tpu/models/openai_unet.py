@@ -56,6 +56,9 @@ class OpenAIUNetConfig:
     resblock_updown: bool = True
     use_new_attention_order: bool = False
     dropout: float = 0.0
+    # rematerialize resblocks under grad (activation-memory control — the
+    # reference's use_checkpoint capability, improved_ddpm/nn.py:124-184)
+    remat: bool = False
 
     @property
     def temb_ch(self) -> int:
@@ -292,6 +295,10 @@ def _attnblock(p, spec, cfg, x):
 def _apply_layer(p, spec, cfg, x, emb):
     kind = spec["kind"]
     if kind == "res":
+        if cfg.remat:
+            return jax.checkpoint(
+                lambda pp, xx, ee: _resblock(pp, spec, cfg, xx, ee)
+            )(p, x, emb)
         return _resblock(p, spec, cfg, x, emb)
     if kind == "attn":
         return _attnblock(p, spec, cfg, x)
