@@ -179,14 +179,48 @@ class AsyrpRunner:
         cosine = 1.0
         if self.clip_ctx is not None:
             cosine = self.clip_ctx.text_cosine(self.src_txts, self.trg_txts)
+        # calibration-curve resolution (diffusion_latent.py:1336-1360):
+        # custom datasets key curves by --custom_dataset_name; a fresh
+        # on-disk `--lpips` tsv takes precedence over the bundled tables.
+        from asyrp_official_tpu.utils.assets import load_lpips_tsv, lpips_curve
+
+        candidates = []
+        custom_name = getattr(a, "custom_dataset_name", None)
+        if self.config["data"]["category"] == "CUSTOM" and custom_name:
+            candidates.append(custom_name)
+        candidates.append(_dataset_key(self.config))
+
+        key = candidates[-1]
+        curve_x0_t = curve_x = None
+        for cand in candidates:
+            tsv = os.path.join(
+                self.work_dir, "utils", f"{cand}_LPIPS_distance_x0_t.tsv"
+            )
+            if os.path.exists(tsv):
+                key = cand
+                curve_x0_t = load_lpips_tsv(tsv)
+                tsv_x = os.path.join(
+                    self.work_dir, "utils", f"{cand}_LPIPS_distance_x.tsv"
+                )
+                if os.path.exists(tsv_x):
+                    curve_x = load_lpips_tsv(tsv_x)
+                break
+            try:
+                lpips_curve(cand, "x0_t")
+                key = cand
+                break
+            except KeyError:
+                continue
         self.t_edit, self.t_addnoise = select_interval(
-            _dataset_key(self.config),
+            key,
             cosine,
             lpips_edit_th=a.lpips_edit_th,
             lpips_addnoise_th=a.lpips_addnoise_th,
             add_noise_from_xt=getattr(a, "add_noise_from_xt", False),
             user_defined_t_edit=a.user_defined_t_edit or None,
             user_defined_t_addnoise=a.user_defined_t_addnoise or None,
+            curve_x0_t=curve_x0_t,
+            curve_x=curve_x,
         )
         log.info("t_edit=%d t_addnoise=%d cosine=%.4f", self.t_edit, self.t_addnoise, cosine)
         return cosine
