@@ -242,6 +242,15 @@ def main(argv=None):
 
     os.makedirs(args.exp, exist_ok=True)
 
+    # provenance: copy the invoking shell script into the exp dir
+    # (main.py:255-261)
+    if args.sh_file_name and os.path.exists(args.sh_file_name):
+        import shutil
+
+        mode = "test" if args.run_test else "train" if args.run_train else "run"
+        base = os.path.basename(args.sh_file_name).split(".")[0]
+        shutil.copy(args.sh_file_name, os.path.join(args.exp, f"{base}_{mode}.sh"))
+
     from asyrp_official_tpu.runner import AsyrpRunner
 
     clip_ctx, id_params, lpips_params = build_contexts(args)

@@ -75,9 +75,16 @@ def precompute_pairs(
     re_precompute: bool = False,
     compute_dtype=jnp.float32,
     class_name: Optional[str] = None,
+    save_imgs_dir: Optional[str] = None,
+    shuffle_seed: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """Invert the first `n_img` dataset images and reconstruct them.
-    Returns {"x0", "x_rec", "x_lat"} each [n_img, H, W, C]."""
+    Returns {"x0", "x_rec", "x_lat"} each [n_img, H, W, C].
+
+    `save_imgs_dir` writes `{mode}_{i}_0_orig.png` / `_1_lat_ninv{n}.png` /
+    `_1_rec_ninv{n}.png` per image (`--save_precomputed_images`,
+    diffusion_latent.py:1026-1076). `shuffle_seed` permutes the dataset
+    order (`--shuffle_train_dataloader`)."""
     base = pairs_cache_path(
         cache_dir, category, mode, t_0, n_img, n_inv_step, class_name=class_name
     )
@@ -104,9 +111,15 @@ def precompute_pairs(
     invert = engine.make_invert(spec, schedule, seq, compute_dtype=compute_dtype)
     generate = engine.make_generate(spec, schedule, seq, compute_dtype=compute_dtype)
 
+    order = list(range(len(dataset)))
+    if shuffle_seed is not None:
+        import random as _random
+
+        _random.Random(shuffle_seed).shuffle(order)
+
     start = 0 if done is None else done["x0"].shape[0]
     xs: List[np.ndarray] = []
-    for i in range(start, min(n_img, len(dataset))):
+    for i in order[start : min(n_img, len(dataset))]:
         item = dataset[i]
         xs.append(item[0] if isinstance(item, tuple) else item)
     out = {k: [done[k]] if done is not None else [] for k in ("x0", "x_rec", "x_lat")}
@@ -122,6 +135,16 @@ def precompute_pairs(
 
     pairs = {k: np.concatenate(v)[:n_img] if v else np.zeros((0,)) for k, v in out.items()}
     _save_cache(base, pairs)
+    if save_imgs_dir:
+        from asyrp_official_tpu.data.imageio import save_image
+
+        for i in range(pairs["x0"].shape[0]):
+            save_image(pairs["x0"][i], os.path.join(
+                save_imgs_dir, f"{mode}_{i}_0_orig.png"), pm1=True)
+            save_image(pairs["x_lat"][i], os.path.join(
+                save_imgs_dir, f"{mode}_{i}_1_lat_ninv{n_inv_step}.png"), pm1=True)
+            save_image(pairs["x_rec"][i], os.path.join(
+                save_imgs_dir, f"{mode}_{i}_1_rec_ninv{n_inv_step}.png"), pm1=True)
     return pairs
 
 

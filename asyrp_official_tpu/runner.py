@@ -252,6 +252,9 @@ class AsyrpRunner:
             target_class_num=getattr(a, "target_class_num", None),
         )
         ds = train_ds if mode == "train" else test_ds
+        save_dir = None
+        if getattr(a, "save_precomputed_images", False):
+            save_dir = self._dir(os.path.join(a.exp, "image_samples"))
         return pc.precompute_pairs(
             self.spec, params, self.schedule, ds,
             n_img=n_img, n_inv_step=a.n_inv_step, t_0=a.t_0, mode=mode,
@@ -259,6 +262,12 @@ class AsyrpRunner:
             batch_size=a.bs_train,
             re_precompute=getattr(a, "re_precompute", False),
             compute_dtype=self.compute_dtype,
+            save_imgs_dir=save_dir,
+            shuffle_seed=(
+                a.seed
+                if mode == "train" and getattr(a, "shuffle_train_dataloader", False)
+                else None
+            ),
         )
 
     def _dir(self, name: str) -> str:
@@ -415,6 +424,17 @@ class AsyrpRunner:
                 losses.append(float(metrics["loss"]))
                 if a.save_checkpoint_during_iter and len(losses) % a.save_checkpoint_step == 0:
                     self._save_delta(edit, self._ckpt_path(it_out, len(losses)), train_target, seq_train)
+                if (
+                    getattr(a, "save_train_image", False)
+                    and (len(losses) - 1) % a.save_train_image_step == 0
+                    and it_out % a.save_train_image_iter == 0
+                ):  # training-time visual checkpoints (diffusion_latent.py:358-365)
+                    self.save_grid(
+                        params, edit, np.asarray(xb), seq_test,
+                        file_name=f"train_{ofs}_{it_out}",
+                        folder=self._dir(os.path.join(a.exp, "training_images")),
+                        x0=np.asarray(x0b),
+                    )
             log.info("iter %d: mean loss %.4f (lr %.4g)", it_out, float(np.mean(losses or [0.0])), lr)
             self._save_delta(edit, save_name, train_target, seq_train)
             try:
