@@ -193,7 +193,7 @@ def train_clip_term(
         ctx.compute_text_direction(source_class, target_class)
     )
 
-    def extra(x0, x0_t):
+    def extra(x0, x0_t, x0_t_origin=None):
         ld = directional_loss(ctx, x0, x0_t, target_direction)
         return clip_loss_w * (-jnp.log((2.0 - ld) / 2.0))
 

@@ -167,15 +167,18 @@ class SimpleTokenizer:
 
 class HashTokenizer:
     """Deterministic test-only fallback: maps words to stable ids in
-    [1000, 49000). Shape-compatible with CLIP tokenization; NOT semantically
-    CLIP-compatible — for tests and offline smoke runs only."""
+    [1000, 49000) via crc32 (process-independent — Python's built-in hash()
+    is salted per interpreter). Shape-compatible with CLIP tokenization;
+    NOT semantically CLIP-compatible — for tests and offline smoke runs."""
 
     sot = 49406
     eot = 49407
 
     def encode(self, text: str) -> List[int]:
+        import zlib
+
         words = whitespace_clean(basic_clean(text)).lower().split(" ")
-        return [1000 + (hash(w) % 48000) for w in words if w]
+        return [1000 + (zlib.crc32(w.encode()) % 48000) for w in words if w]
 
 
 def tokenize(

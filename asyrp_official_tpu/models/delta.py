@@ -236,13 +236,19 @@ def apply_edit(edit: EditState, h: jnp.ndarray, temb: jnp.ndarray):
     delta_h = None
 
     if edit.mode == "deltablock":
+        assert hs_coeff.shape[0] >= len(edit.blocks) + 1, (
+            f"hs_coeff needs {len(edit.blocks) + 1} entries (original-h + one "
+            f"per block), got {hs_coeff.shape[0]} — JAX would silently clamp"
+        )
         temb_in = None if edit.ignore_timestep else temb
         h2 = h * hs_coeff[0]
         for i, bp in enumerate(edit.blocks):
             delta_h = delta_block_apply(bp, h, temb_in, flavor=edit.flavor)
             h2 = h2 + delta_h * hs_coeff[i + 1]
     elif edit.mode == "input":
-        row = jnp.take(edit.delta_rows, edit.delta_idx, axis=0)
+        # mode="clip": a mis-specified delta_idx must degrade to a wrong-but-
+        # finite row, never to NaN fill (jnp.take's default OOB behavior)
+        row = jnp.take(edit.delta_rows, edit.delta_idx, axis=0, mode="clip")
         delta_h = jnp.broadcast_to(row[None], h.shape).astype(h.dtype)
         if edit.input_style == "add":
             h2 = h * hs_coeff[0] + delta_h * hs_coeff[1]

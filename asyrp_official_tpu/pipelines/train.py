@@ -35,10 +35,12 @@ __all__ = ["default_loss", "make_train_step", "make_optimizer"]
 
 def default_loss(x0_t, x0_t_origin, x0, *, l1_w=3.0, cosine=1.0, extra=None):
     """L1 reconstruction term (diffusion_latent.py:340,350); `extra` is the
-    pluggable CLIP/ID callable: extra(x0, x0_t) -> scalar already weighted."""
+    pluggable CLIP/ID callable: extra(x0, x0_t, x0_t_origin) -> scalar,
+    already weighted (the ID term needs the un-edited denoising
+    x0_t_origin, diffusion_latent.py:346-347)."""
     loss = l1_w * jnp.abs(x0_t - x0_t_origin).mean() * cosine
     if extra is not None:
-        loss = loss + extra(x0, x0_t)
+        loss = loss + extra(x0, x0_t, x0_t_origin)
     return loss
 
 

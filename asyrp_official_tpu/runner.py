@@ -140,6 +140,7 @@ class AsyrpRunner:
             self.trg_txts = getattr(args, "trg_txts", None)
 
         self._params = None
+        self._engine_cache = {}
 
     # ------------------------------------------------------------------
     # model loading
@@ -255,6 +256,10 @@ class AsyrpRunner:
         save_dir = None
         if getattr(a, "save_precomputed_images", False):
             save_dir = self._dir(os.path.join(a.exp, "image_samples"))
+        class_name = None
+        if d["dataset"] == "IMAGENET" and getattr(a, "target_class_num", None) is not None:
+            # cache name embeds the class (diffusion_latent.py:966-968)
+            class_name = data.imagenet_classes()[str(a.target_class_num)][1]
         return pc.precompute_pairs(
             self.spec, params, self.schedule, ds,
             n_img=n_img, n_inv_step=a.n_inv_step, t_0=a.t_0, mode=mode,
@@ -263,6 +268,7 @@ class AsyrpRunner:
             re_precompute=getattr(a, "re_precompute", False),
             compute_dtype=self.compute_dtype,
             save_imgs_dir=save_dir,
+            class_name=class_name,
             shuffle_seed=(
                 a.seed
                 if mode == "train" and getattr(a, "shuffle_train_dataloader", False)
@@ -295,7 +301,13 @@ class AsyrpRunner:
         a = self.args
         cosine = self.set_interval()
         seq_train, _ = train_seq(a.n_train_step, a.t_0, self.t_edit)
-        seq_test = uniform_seq(a.n_train_step, a.t_0)
+        # n_train_step == 0 is the reference's 'no skip' mode
+        # (diffusion_latent.py:157-159)
+        seq_test = (
+            uniform_seq(a.n_train_step, a.t_0)
+            if a.n_train_step
+            else list(range(0, a.t_0))
+        )
         params = self.load_pretrained()
 
         # trainable state
@@ -303,6 +315,7 @@ class AsyrpRunner:
         bottleneck_hw = self.spec.resolution // (
             2 ** (len(self.config["model"]["ch_mult"]) - 1)
         )
+        extra_blocks = ()
         with jax.default_device(jax.devices("cpu")[0]):
             if train_target == "blocks":
                 blocks = tuple(
@@ -313,8 +326,13 @@ class AsyrpRunner:
                     )
                     for i in range(a.get_h_num)
                 )
+                # the reference trains with index=0 — only layer_0 receives
+                # gradient even when get_h_num > 1 (diffusion_latent.py:314,
+                # models/ddpm/diffusion.py:513-516); the remaining blocks
+                # stay at init and are saved untouched
+                extra_blocks = blocks[1:]
                 edit = EditState(
-                    blocks=blocks,
+                    blocks=blocks[:1],
                     hs_coeff=jnp.array([1.0, 1.0]),
                     flavor=self.spec.delta_flavor,
                     ignore_timestep=a.ignore_timesteps,
@@ -330,6 +348,9 @@ class AsyrpRunner:
                     hs_coeff=jnp.array([1.0, 1.0]), input_style="add",
                     ignore_timestep=a.ignore_timesteps,
                 )
+                # times of the stacked rows — save_grid maps generation
+                # timesteps onto these (grids differ when t_edit filters)
+                edit._times = None if a.ignore_timesteps else list(seq_train)
 
         # loss
         extra_loss = None
@@ -345,10 +366,12 @@ class AsyrpRunner:
             id_p = self.id_params
             clip_extra = extra_loss
 
-            def extra_loss(x0, x0_t, _clip=clip_extra, _idp=id_p):  # noqa: F811
-                out = a.id_loss_w * idl(_idp, x0, x0_t).mean()
+            def extra_loss(x0, x0_t, x0_t_origin, _clip=clip_extra, _idp=id_p):  # noqa: F811
+                # reference anchors identity to the UN-edited denoising
+                # x0_t_origin, not the source image (diffusion_latent.py:346)
+                out = a.id_loss_w * idl(_idp, x0_t, x0_t_origin).mean()
                 if _clip is not None:
-                    out = out + _clip(x0, x0_t)
+                    out = out + _clip(x0, x0_t, x0_t_origin)
                 return out
 
         def loss_fn(x0_t, x0_t_origin, x0):
@@ -415,15 +438,22 @@ class AsyrpRunner:
                 continue
             lr = tr.steplr_lr(a.lr_training, it_out, a.scheduler_step_size, a.sch_gamma)
             losses = []
-            for ofs in range(0, len(x_lat_all), a.bs_train):
+            save_counter = 0
+            for bi, ofs in enumerate(range(0, len(x_lat_all), a.bs_train)):
                 xb = jnp.asarray(x_lat_all[ofs : ofs + a.bs_train])
                 x0b = jnp.asarray(x0_all[ofs : ofs + a.bs_train])
                 if xb.shape[0] != a.bs_train:
                     break  # drop_last semantics
                 edit, opt_state, metrics = step(params, edit, opt_state, xb, x0b, lr)
                 losses.append(float(metrics["loss"]))
-                if a.save_checkpoint_during_iter and len(losses) % a.save_checkpoint_step == 0:
-                    self._save_delta(edit, self._ckpt_path(it_out, len(losses)), train_target, seq_train)
+                # reference checks its counter BEFORE incrementing — saves at
+                # batches 0, step, 2*step ... (diffusion_latent.py:367-381)
+                if a.save_checkpoint_during_iter and bi % a.save_checkpoint_step == 0:
+                    self._save_delta(
+                        edit, self._ckpt_path(it_out, save_counter),
+                        train_target, seq_train, extra_blocks,
+                    )
+                    save_counter += 1
                 if (
                     getattr(a, "save_train_image", False)
                     and (len(losses) - 1) % a.save_train_image_step == 0
@@ -436,7 +466,7 @@ class AsyrpRunner:
                         x0=np.asarray(x0b),
                     )
             log.info("iter %d: mean loss %.4f (lr %.4g)", it_out, float(np.mean(losses or [0.0])), lr)
-            self._save_delta(edit, save_name, train_target, seq_train)
+            self._save_delta(edit, save_name, train_target, seq_train, extra_blocks)
             try:
                 from asyrp_official_tpu.pipelines.checkpoint import save_train_state
 
@@ -457,10 +487,12 @@ class AsyrpRunner:
             self._test_sweep(params, edit, seq_test)
         return edit
 
-    def _save_delta(self, edit: EditState, path: str, train_target: str, seq_train):
+    def _save_delta(self, edit: EditState, path: str, train_target: str,
+                    seq_train, extra_blocks=()):
         if train_target == "blocks":
+            all_blocks = list(edit.blocks) + list(extra_blocks)
             delta_ckpt.save_delta_checkpoint(
-                path, blocks=[jax.tree.map(np.asarray, b) for b in edit.blocks],
+                path, blocks=[jax.tree.map(np.asarray, b) for b in all_blocks],
                 flavor=self.spec.delta_flavor,
             )
         else:
@@ -504,10 +536,11 @@ class AsyrpRunner:
         if a.save_x0 and x0 is not None:
             rows.append(np.asarray(x0))
         if a.save_x_origin:
-            gen = engine.make_generate(
-                self.spec, self.schedule, seq,
+            gen = self._cached_engine(
+                "gen",
+                tuple(seq),
                 t_addnoise=self.t_addnoise if a.origin_process_addnoise else -1,
-                sample_type=a.sample_type, compute_dtype=self.compute_dtype,
+                sample_type=a.sample_type,
                 collect=("x", "x0_t") if getattr(a, "save_process_origin", False) else (),
             )
             x, ys = gen(params, jnp.asarray(x_lat), rng)
@@ -525,13 +558,14 @@ class AsyrpRunner:
                 collect += ("delta_h",)
             if getattr(a, "save_process_delta_h", False):
                 collect += ("x", "x0_t")
-            run = engine.make_edit_generate(
-                self.spec, self.schedule, seq,
+            run = self._cached_engine(
+                "edit",
+                tuple(seq),
                 t_edit=self.t_edit, t_addnoise=self.t_addnoise,
-                delta_times=delta_times, ignore_timesteps=a.ignore_timesteps,
+                delta_times=tuple(delta_times) if delta_times else None,
+                ignore_timesteps=a.ignore_timesteps,
                 sample_type=a.sample_type, dt_lambda=a.dt_lambda,
-                dt_end=a.dt_end, compute_dtype=self.compute_dtype,
-                collect=collect,
+                dt_end=a.dt_end, collect=collect,
             )
             for coeff in hs_coeff_list or [tuple(np.asarray(edit.hs_coeff))]:
                 e = dataclasses.replace(edit, hs_coeff=jnp.asarray(coeff, jnp.float32))
@@ -547,6 +581,26 @@ class AsyrpRunner:
         save_image(grid, out, nrow=max(1, x_lat.shape[0]), pm1=True)
         log.info("%s saved (%d rows)", out, len(rows))
         return harvested
+
+    def _cached_engine(self, kind: str, seq: tuple, **kw):
+        """Engines are compiled programs — one compilation must serve the
+        whole run (save_grid is called per batch). Cache by configuration."""
+        key = (kind, seq, tuple(sorted(kw.items())))
+        if key not in self._engine_cache:
+            if kind == "gen":
+                self._engine_cache[key] = engine.make_generate(
+                    self.spec, self.schedule, list(seq),
+                    compute_dtype=self.compute_dtype, **kw,
+                )
+            else:
+                dt = kw.pop("delta_times")
+                self._engine_cache[key] = engine.make_edit_generate(
+                    self.spec, self.schedule, list(seq),
+                    delta_times=list(dt) if dt else None,
+                    compute_dtype=self.compute_dtype, **kw,
+                )
+                kw["delta_times"] = dt
+        return self._engine_cache[key]
 
     def _dump_process(self, ys, seq, folder, file_name, tag):
         """Per-step [x; x0_t] grids (diffusion_latent.py:485-489, 523-527)."""
@@ -592,7 +646,11 @@ class AsyrpRunner:
         a = self.args
         self.set_interval()
         seq_train, _ = train_seq(a.n_train_step, a.t_0, self.t_edit)
-        seq_test = uniform_seq(a.n_test_step, a.t_0)
+        seq_test = (
+            uniform_seq(a.n_test_step, a.t_0)
+            if a.n_test_step
+            else list(range(0, a.t_0))  # 'no skip' (diffusion_latent.py:564-566)
+        )
         seq_test_edit = [t for t in seq_test if t >= self.t_edit]
         params = self.load_pretrained()
 
@@ -691,45 +749,62 @@ class AsyrpRunner:
                     tuple([1.0] + [v * c for c in hs_coeff[1:]]) for v in vals
                 ]
 
-        pairs = self.get_pairs(params, "test" if a.do_test else "train")
         folder = self._dir(os.path.join(a.exp, "test_images", str(a.n_test_step)))
+        target_ids = self._parse_target_ids(getattr(a, "target_image_id", None))
+
+        # reference iterates the TRAIN split first (harvesting mean-Δh
+        # there, diffusion_latent.py:778-837), then the TEST split
+        splits = []
+        if a.do_train:
+            splits.append(("train", a.n_train_img))
+        if a.do_test:
+            splits.append(("test", a.n_test_img))
 
         harvest_sum: Optional[np.ndarray] = None
         n_done = 0
-        n_img = a.n_test_img if a.do_test else a.n_train_img
-        target_ids = self._parse_target_ids(getattr(a, "target_image_id", None))
-        for ofs in range(0, min(n_img, pairs["x_lat"].shape[0]), a.bs_train):
-            if target_ids is not None and ofs not in target_ids:
-                continue  # diffusion_latent.py:781-784 (bs_train == 1 mode)
-            if getattr(a, "start_image_id", 0) > ofs:
-                continue  # diffusion_latent.py:785-786
-            xb = pairs["x_lat"][ofs : ofs + a.bs_train]
-            x0b = pairs["x0"][ofs : ofs + a.bs_train]
-            if xb.shape[0] != a.bs_train:
-                break
-            h = self.save_grid(
-                params, edit, xb, seq_test,
-                file_name=f"{'test' if a.do_test else 'train'}_{ofs}_{a.n_iter - 1}",
-                folder=folder, hs_coeff_list=hs_coeff_list, x0=x0b,
-                collect_delta=bool(mean_dh_pending),
-            )
-            if mean_dh_pending and h is not None:
-                s = h.sum(axis=1)  # [S, h, w, C] summed over batch
-                harvest_sum = s if harvest_sum is None else harvest_sum + s
-                n_done += xb.shape[0]
-                if n_done >= mean_dh_pending:
-                    # per-t mean then global mean (diffusion_latent.py:810-835)
-                    from asyrp_official_tpu.core.steptable import generation_table
+        for mode, n_img in splits:
+            pairs = self.get_pairs(params, mode)
+            for ofs in range(0, min(n_img, pairs["x_lat"].shape[0]), a.bs_train):
+                if target_ids is not None and ofs not in target_ids:
+                    continue  # diffusion_latent.py:781-784 (bs_train == 1 mode)
+                if getattr(a, "start_image_id", 0) > ofs:
+                    continue  # diffusion_latent.py:785-786
+                xb = pairs["x_lat"][ofs : ofs + a.bs_train]
+                x0b = pairs["x0"][ofs : ofs + a.bs_train]
+                if xb.shape[0] != a.bs_train:
+                    break
+                harvesting = bool(mean_dh_pending) and mode == "train"
+                h = self.save_grid(
+                    params, edit, xb, seq_test,
+                    file_name=f"{mode}_{ofs}_{a.n_iter - 1}",
+                    folder=folder, hs_coeff_list=hs_coeff_list, x0=x0b,
+                    collect_delta=harvesting,
+                )
+                if harvesting and h is not None:
+                    s = h.sum(axis=1)  # [S, h, w, C] summed over batch
+                    harvest_sum = s if harvest_sum is None else harvest_sum + s
+                    n_done += xb.shape[0]
+                    if n_done >= mean_dh_pending:
+                        # per-t mean then global mean
+                        # (diffusion_latent.py:810-835)
+                        from asyrp_official_tpu.core.steptable import generation_table
 
-                    tab = generation_table(seq_test, t_edit=self.t_edit)
-                    per_t = harvest_sum / n_done
-                    active = tab.use_delta > 0
-                    global_mean = per_t[active].mean(axis=0)
-                    rows = {int(t): per_t[i] for i, t in enumerate(tab.t) if active[i]}
-                    rows[0] = global_mean
-                    delta_ckpt.save_delta_checkpoint(latent_path, delta_rows=rows)
-                    log.info("mean-of-delta-h saved: %s", latent_path)
-                    mean_dh_pending = 0
+                        tab = generation_table(seq_test, t_edit=self.t_edit)
+                        per_t = harvest_sum / n_done
+                        active = tab.use_delta > 0
+                        global_mean = per_t[active].mean(axis=0)
+                        rows = {
+                            int(t): per_t[i]
+                            for i, t in enumerate(tab.t) if active[i]
+                        }
+                        rows[0] = global_mean
+                        delta_ckpt.save_delta_checkpoint(latent_path, delta_rows=rows)
+                        log.info("mean-of-delta-h saved: %s", latent_path)
+                        mean_dh_pending = 0
+                        # 'now we use mean of delta_hs'
+                        # (diffusion_latent.py:829-836): remaining images are
+                        # edited with the harvested mean rows
+                        edit = self._edit_from_rows(rows, hs_coeff, seq_test)
         return edit
 
     def _edit_from_rows(self, rows_dict, hs_coeff, seq_test) -> EditState:
