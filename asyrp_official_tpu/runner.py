@@ -243,7 +243,10 @@ class AsyrpRunner:
                 batch_size=a.bs_train, seed=a.seed, t_0=a.t_0,
                 compute_dtype=self.compute_dtype,
             )
-        paths = dict(getattr(a, "dataset_paths", {}) or {})
+        from asyrp_official_tpu.configs.paths import DATASET_PATHS
+
+        paths = dict(DATASET_PATHS)
+        paths.update(getattr(a, "dataset_paths", {}) or {})
         if d["category"] == "CUSTOM":
             paths["custom_train"] = a.custom_train_dataset_dir
             paths["custom_test"] = a.custom_test_dataset_dir
@@ -875,7 +878,10 @@ class AsyrpRunner:
             )
         params = self.load_pretrained()
         d = self.config["data"]
-        paths = dict(getattr(a, "dataset_paths", {}) or {})
+        from asyrp_official_tpu.configs.paths import DATASET_PATHS
+
+        paths = dict(DATASET_PATHS)
+        paths.update(getattr(a, "dataset_paths", {}) or {})
         if d["category"] == "CUSTOM":
             paths["custom_train"] = a.custom_train_dataset_dir
             paths["custom_test"] = a.custom_test_dataset_dir

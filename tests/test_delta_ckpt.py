@@ -93,6 +93,40 @@ def test_roundtrip_reference_format(tmp_path, reference_path):
         np.testing.assert_allclose(raw["0"][k].numpy(), orig[k].numpy(), rtol=1e-6)
 
 
+DOG_RELEASED = "/root/reference/checkpoint/dog_happy_LC_dog_t999_ninv40_ngen40_0.pth"
+
+
+@pytest.mark.skipif(not os.path.exists(DOG_RELEASED), reason="released ckpt unavailable")
+def test_released_openai_flavor_golden_forward(reference_path):
+    """AFHQ-dog released DeltaBlock (OpenAI flavor) — golden forward vs the
+    torch reference module with the real released weights."""
+    import torch
+    from models.improved_ddpm.unet import DeltaBlock
+
+    raw = torch.load(DOG_RELEASED, map_location="cpu", weights_only=False)
+    tb = DeltaBlock(channels=512, emb_channels=512, dropout=0.0)
+    tb.load_state_dict(raw["0"])
+    tb.eval()
+
+    ours = load_delta_checkpoint(DOG_RELEASED)["blocks"][0]
+    assert "in_norm" in ours  # openai flavor auto-detected
+
+    rng = np.random.RandomState(0)
+    h = rng.randn(2, 512, 8, 8).astype(np.float32)
+    emb = rng.randn(2, 512).astype(np.float32)
+    with torch.no_grad():
+        out_t = tb(torch.from_numpy(h), torch.from_numpy(emb)).numpy()
+    out_j = delta_block_apply(
+        jax.tree.map(jnp.asarray, ours),
+        jnp.asarray(np.transpose(h, (0, 2, 3, 1))),
+        jnp.asarray(emb),
+        flavor="openai",
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out_j), (0, 3, 1, 2)), out_t, rtol=1e-4, atol=1e-5
+    )
+
+
 def test_delta_rows_roundtrip(tmp_path):
     rows = {516: np.random.RandomState(0).randn(8, 8, 512).astype(np.float32)}
     p = str(tmp_path / "rows.pth")
