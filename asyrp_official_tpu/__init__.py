@@ -17,4 +17,31 @@ Built from scratch, TPU-first:
 
 __version__ = "0.1.0"
 
-from asyrp_official_tpu.core.schedule import Schedule, make_schedule, uniform_seq
+from asyrp_official_tpu.core.schedule import (
+    Schedule,
+    make_schedule,
+    space_timesteps,
+    train_seq,
+    uniform_seq,
+)
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps bare `import asyrp_official_tpu` light)."""
+    if name == "resolve":
+        from asyrp_official_tpu.models.registry import resolve
+
+        return resolve
+    if name == "EditState":
+        from asyrp_official_tpu.models.delta import EditState
+
+        return EditState
+    if name == "engine":
+        from asyrp_official_tpu.pipelines import engine
+
+        return engine
+    if name == "AsyrpRunner":
+        from asyrp_official_tpu.runner import AsyrpRunner
+
+        return AsyrpRunner
+    raise AttributeError(name)
