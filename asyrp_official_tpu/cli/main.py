@@ -82,6 +82,13 @@ def build_parser() -> argparse.ArgumentParser:
     # training
     add("--train_delta_block", action="store_true")
     add("--train_delta_h", action="store_true")
+    add("--delta_injection", type=str, default="add", choices=["add", "slerp"],
+        help="input-delta_h injection semantics: 'add' = the paper's "
+             "additive rule h2 = h*c0 + dh*c1 (preserved in the reference's "
+             "forward_layer_check:633); 'slerp' = the reference's PUBLISHED "
+             "main-forward branch (models/ddpm/diffusion.py:517-539), which "
+             "the DiffStyle merge overwrote — note slerp is a no-op at the "
+             "default hs_coeff_origin_h=1.0")
     add("--ignore_timesteps", action="store_true")
     add("--do_train", type=int, default=1)
     add("--do_test", type=int, default=1)

@@ -119,9 +119,15 @@ def sample_chain(
 
         at = acp_ext[t_i + 1]
         at_next = acp_ext[t_next_i + 1]
-        noise = jax.random.normal(
-            jax.random.fold_in(rng, step_i), x.shape, x.dtype
-        )
+        if needs_noise:
+            noise = jax.random.normal(
+                jax.random.fold_in(rng, step_i), x.shape, x.dtype
+            )
+        else:
+            # fully deterministic chain (inversion / eta=0 generation) —
+            # skip the per-step B*H*W*C threefry that XLA can't DCE
+            # (eta rides the scan as data, so c1=0 is a runtime value)
+            noise = jnp.zeros_like(x)
 
         if sample_type == "ddim":
             apply_dt = None

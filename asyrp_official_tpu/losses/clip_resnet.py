@@ -196,9 +196,12 @@ def params_from_torch(sd: Dict[str, np.ndarray], cfg: RN50Config = RN50):
                 "conv2": conv(f"{base}.conv2"), "bn2": bn(f"{base}.bn2"),
                 "conv3": conv(f"{base}.conv3"), "bn3": bn(f"{base}.bn3"),
             }
-            if pre + f"{base}.downsample.1.weight" in sd:
-                p["down_conv"] = conv(f"{base}.downsample.1")
-                p["down_bn"] = bn(f"{base}.downsample.2")
+            # OpenAI's downsample Sequential is OrderedDict([("-1", AvgPool),
+            # ("0", Conv), ("1", BN)]) — the avgpool holds no params, so the
+            # state_dict keys are downsample.0 (conv) and downsample.1 (bn)
+            if pre + f"{base}.downsample.0.weight" in sd:
+                p["down_conv"] = conv(f"{base}.downsample.0")
+                p["down_bn"] = bn(f"{base}.downsample.1")
             blocks.append(p)
         layers.append(blocks)
     params["layers"] = layers

@@ -67,12 +67,18 @@ def whitespace_clean(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
-_WORD_PAT = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-    if False
-    else r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
-    re.IGNORECASE,
-)
+try:  # CLIP's pattern uses unicode word classes — needs the regex module
+    import regex as _re
+
+    _WORD_PAT = _re.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
+        _re.IGNORECASE,
+    )
+except ImportError:  # ASCII fallback (non-ASCII prompts tokenize differently)
+    _WORD_PAT = re.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
+        re.IGNORECASE,
+    )
 
 
 class SimpleTokenizer:
@@ -149,7 +155,7 @@ class SimpleTokenizer:
     def encode(self, text: str) -> List[int]:
         bpe_tokens: List[int] = []
         text = whitespace_clean(basic_clean(text)).lower()
-        for token in re.findall(_WORD_PAT, text):
+        for token in _WORD_PAT.findall(text):
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             bpe_tokens.extend(
                 self.encoder[t] for t in self.bpe(token).split(" ")

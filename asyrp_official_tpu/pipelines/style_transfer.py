@@ -48,9 +48,16 @@ def style_transfer(
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (stylized, content_latent). content/style: [B, H, W, C] in
-    [-1, 1]. `hs_coeff` is the reference's hs_coeff[0] — slerp position is
+    """Returns (stylized, content_latent). content: [B, H, W, C] in [-1, 1];
+    style: [1, H, W, C] — the injected Δh rows are per-STEP, shared across
+    the content batch, so exactly one style drives a call (loop for style
+    batches). `hs_coeff` is the reference's hs_coeff[0] — slerp position is
     1 - hs_coeff (models/ddpm/diffusion.py:527,539)."""
+    if style.shape[0] != 1:
+        raise ValueError(
+            f"style batch must be 1 (got {style.shape[0]}): h rows are "
+            "shared per step — call once per style image"
+        )
     seq_inv = uniform_seq(n_inv_step, t_0)
     seq_gen = uniform_seq(n_gen_step, t_0)
 
@@ -60,7 +67,7 @@ def style_transfer(
     )
 
     x_lat_content, _ = invert(params, content)
-    _, h_traj = invert_h(params, style)  # [S-1, B, h, w, C]
+    _, h_traj = invert_h(params, style)  # [S-1, 1, h, w, C]
 
     # map each generation timestep to the closest recorded style h (records
     # are keyed by the inversion pair's source t, seq_inv[:-1])

@@ -44,11 +44,13 @@ def default_loss(x0_t, x0_t_origin, x0, *, l1_w=3.0, cosine=1.0, extra=None):
     return loss
 
 
-def make_optimizer(lr: float, scheduler_step_size: int, sch_gamma: float):
-    """SGD(weight_decay=0) + StepLR equivalent (diffusion_latent.py:201-202).
-    The LR schedule steps per OUTER iteration (per epoch, :406), so the
-    schedule is driven by an outer-iteration counter passed via
-    `optax.inject_hyperparams`."""
+def make_optimizer(lr: float, scheduler_step_size: int = 1, sch_gamma: float = 1.0):
+    """SGD(weight_decay=0) with an injectable learning rate
+    (diffusion_latent.py:201). The StepLR schedule (:202, stepped per outer
+    iteration :406) is computed by `steplr_lr(base, it_out, step_size,
+    gamma)` and passed into each train_step call — the two extra parameters
+    here are accepted for signature parity but the schedule itself lives in
+    the caller's loop."""
     return optax.inject_hyperparams(optax.sgd)(learning_rate=lr)
 
 

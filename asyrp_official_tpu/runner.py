@@ -348,7 +348,8 @@ class AsyrpRunner:
                 )
                 edit = EditState(
                     mode="input", delta_rows=rows,
-                    hs_coeff=jnp.array([1.0, 1.0]), input_style="add",
+                    hs_coeff=jnp.array([1.0, 1.0]),
+                    input_style=getattr(a, "delta_injection", "add"),
                     ignore_timestep=a.ignore_timesteps,
                 )
                 # times of the stacked rows — save_grid maps generation
@@ -821,7 +822,8 @@ class AsyrpRunner:
         e = EditState(
             mode="input", delta_rows=rows,
             hs_coeff=jnp.asarray(hs_coeff, jnp.float32),
-            input_style="add", ignore_timestep=a.ignore_timesteps,
+            input_style=getattr(a, "delta_injection", "add"),
+            ignore_timestep=a.ignore_timesteps,
             use_mask=getattr(a, "masked_h", False) or getattr(a, "use_mask", False),
         )
         e._times = times

@@ -53,8 +53,10 @@ def test_converter_synthetic_sd():
             add_conv(f"{b}.conv2", planes, planes, 3); add_bn(f"{b}.bn2", planes)
             add_conv(f"{b}.conv3", planes, planes * 4, 1); add_bn(f"{b}.bn3", planes * 4)
             if (li > 0 and bi == 0) or inplanes != planes * 4:
-                add_conv(f"{b}.downsample.1", inplanes, planes * 4, 1)
-                add_bn(f"{b}.downsample.2", planes * 4)
+                # real OpenAI layout: avgpool("-1") has no params →
+                # conv is downsample.0, bn is downsample.1
+                add_conv(f"{b}.downsample.0", inplanes, planes * 4, 1)
+                add_bn(f"{b}.downsample.1", planes * 4)
             inplanes = planes * 4
     c = w * 32
     sd["visual.attnpool.positional_embedding"] = np.zeros(
