@@ -40,6 +40,8 @@ def load_state_dict_numpy(path: str) -> Dict[str, np.ndarray]:
         sd = sd["state_dict"]
     out = {}
     for k, v in sd.items():
+        if k.startswith("module."):  # DataParallel-saved checkpoints
+            k = k[len("module."):]
         if hasattr(v, "detach"):
             out[k] = v.detach().cpu().numpy()
         else:

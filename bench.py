@@ -72,6 +72,11 @@ def main():
         # host fetch of a reduction is the only honest completion barrier
         return float(jnp.sum(arr))
 
+    trace_dir = os.environ.get("ASYRP_TPU_TRACE")
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
+        log(f"profiler trace -> {trace_dir}")
+
     best = 0.0
     best_bsz = 0
     for bsz in (8,):
@@ -127,6 +132,9 @@ def main():
         log(f"p50 40-step invert+edit: {sorted(lats)[1]*1e3:.0f} ms/image")
     except Exception as e:  # secondary metric must never kill the primary
         log(f"latency bench skipped: {type(e).__name__}: {e}")
+
+    if trace_dir:
+        jax.profiler.stop_trace()
 
     print(
         json.dumps(
