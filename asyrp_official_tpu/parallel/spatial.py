@@ -1,0 +1,42 @@
+"""Spatial tensor-parallelism: shard ONE image's activations across chips.
+
+Data parallelism (mesh.py) scales throughput but cannot reduce per-image
+latency — a single 40-step trajectory is sequential. Sharding the activation
+HEIGHT axis across the mesh does: every conv runs on H/n rows per chip with
+XLA's SPMD partitioner inserting the 3x3-conv halo exchanges and the
+GroupNorm/attention collectives automatically (ICI). On a v4-8 this turns
+the p50 single-image invert+edit into ~4 chips' worth of parallel conv work.
+
+Usage (params replicated, input spatially sharded — engines unchanged):
+
+    mesh = pmesh.make_mesh()
+    params = pmesh.replicate(mesh, params)
+    x = spatial_shard(mesh, x0)          # [B, H, W, C], H split over chips
+    x_lat, _ = engine.make_invert(spec, sched, seq)(params, x)
+
+Note: the Pallas fused kernels cannot be GSPMD-partitioned — run spatially-
+sharded chains with ASYRP_TPU_ATTN=xla ASYRP_TPU_GN=xla (the XLA paths are
+perf-equivalent on this workload, see BASELINE.md).
+"""
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from asyrp_official_tpu.parallel.mesh import DATA_AXIS
+
+__all__ = ["spatial_spec", "spatial_shard"]
+
+
+def spatial_spec(mesh: Mesh) -> NamedSharding:
+    """[B, H, W, C] with H sharded over the mesh axis."""
+    return NamedSharding(mesh, P(None, DATA_AXIS, None, None))
+
+
+def spatial_shard(mesh: Mesh, x) -> jax.Array:
+    """Place an image batch with the height axis split across chips.
+    H must be divisible by the mesh size."""
+    assert x.shape[1] % mesh.devices.size == 0, (
+        f"H={x.shape[1]} not divisible by {mesh.devices.size} devices"
+    )
+    return jax.device_put(x, spatial_spec(mesh))

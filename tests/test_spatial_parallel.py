@@ -1,0 +1,78 @@
+"""Spatial tensor-parallelism: a single image's trajectory sharded over the
+8-device virtual mesh must match the unsharded result (XLA inserts the conv
+halo exchanges + norm/attention collectives)."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from asyrp_official_tpu.core.schedule import make_schedule, uniform_seq
+from asyrp_official_tpu.models import ddpmpp
+from asyrp_official_tpu.models.delta import EditState, delta_block_init
+from asyrp_official_tpu.models.registry import ModelSpec
+from asyrp_official_tpu.parallel import mesh as pmesh
+from asyrp_official_tpu.parallel.spatial import spatial_shard, spatial_spec
+from asyrp_official_tpu.pipelines import engine
+
+CFG = ddpmpp.DDPMppConfig(
+    ch=32, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(16,), resolution=32
+)
+SPEC = ModelSpec("ddpmpp", CFG, False, "ddpm")
+SCHED = make_schedule()
+
+
+@pytest.fixture(autouse=True)
+def _xla_ops():
+    # Pallas kernels can't be GSPMD-partitioned — force the XLA paths
+    os.environ["ASYRP_TPU_ATTN"] = "xla"
+    os.environ["ASYRP_TPU_GN"] = "xla"
+    yield
+    os.environ.pop("ASYRP_TPU_ATTN", None)
+    os.environ.pop("ASYRP_TPU_GN", None)
+
+
+def test_spatially_sharded_inversion_matches():
+    m = pmesh.make_mesh()
+    if m.devices.size < 2:
+        pytest.skip("needs multiple devices")
+    params = SPEC.init(jax.random.PRNGKey(0))
+    x0 = jnp.asarray(np.random.RandomState(0).randn(1, 32, 32, 3).astype(np.float32))
+
+    seq = uniform_seq(4, 999)
+    invert = engine.make_invert(SPEC, SCHED, seq)
+    ref, _ = invert(params, x0)
+
+    params_r = pmesh.replicate(m, params)
+    xs = spatial_shard(m, x0)
+    sharded, _ = invert(params_r, xs)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_spatially_sharded_edit_matches():
+    m = pmesh.make_mesh()
+    if m.devices.size < 2:
+        pytest.skip("needs multiple devices")
+    params = SPEC.init(jax.random.PRNGKey(0))
+    block = delta_block_init(jax.random.PRNGKey(1), CFG.bottleneck_ch, CFG.temb_ch)
+    edit = EditState(blocks=(block,), hs_coeff=jnp.array([1.0, 1.0]))
+    x_lat = jnp.asarray(np.random.RandomState(1).randn(1, 32, 32, 3).astype(np.float32))
+
+    seq = uniform_seq(4, 999)
+    run = engine.make_edit_generate(SPEC, SCHED, seq, t_edit=500)
+    ref, _ = run(params, edit, x_lat, jax.random.PRNGKey(0))
+
+    params_r = pmesh.replicate(m, params)
+    edit_r = pmesh.replicate(m, edit)
+    out, _ = run(params_r, edit_r, spatial_shard(m, x_lat), jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_spatial_shard_guard():
+    m = pmesh.make_mesh()
+    with pytest.raises(AssertionError):
+        spatial_shard(m, jnp.zeros((1, 30, 32, 3)))  # 30 % 8 != 0
