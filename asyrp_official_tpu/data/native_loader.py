@@ -65,50 +65,63 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.asyrp_decode_resize_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
         ]
         _LIB = lib
         return lib
+
+
+def _pil_decode_one(path: str, image_size: int) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB").resize(
+        (image_size, image_size), Image.BILINEAR
+    )
+    return np.asarray(img, np.float32) / 127.5 - 1.0
 
 
 def decode_resize_batch(
     paths: Sequence[str], image_size: int, n_threads: int = 0
 ) -> np.ndarray:
     """Decode+resize a list of JPEG/PNG files into one [N, S, S, 3] float32
-    batch in [-1, 1] using the native loader; PIL fallback otherwise."""
+    batch in [-1, 1] using the native loader; PIL handles only the files the
+    native path can't decode (the rest of the batch keeps its native result)."""
     n = len(paths)
     lib = get_lib()
+    out = np.empty((n, image_size, image_size, 3), np.float32)
     if lib is not None:
-        out = np.empty((n, image_size, image_size, 3), np.float32)
-        arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
         nt = n_threads or min(os.cpu_count() or 4, 16)
-        rc = lib.asyrp_decode_resize_batch(
+        encoded = [p.encode() for p in paths]
+        arr = (ctypes.c_char_p * n)(*encoded)
+        status = np.zeros((n,), np.uint8)
+        n_failed = lib.asyrp_decode_resize_batch(
             arr, n, image_size,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), nt,
+            status.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
-        if rc == 0:
-            return out
-        log.warning("native decode failed on %s; PIL fallback", paths[rc - 1])
-    # PIL fallback
-    from PIL import Image
-
-    out = np.empty((n, image_size, image_size, 3), np.float32)
+        if n_failed:
+            # repair exactly the failed files with PIL (native results for
+            # the rest of the batch are kept)
+            for i in np.nonzero(status)[0]:
+                log.warning("native decode failed on %s; PIL for that file", paths[i])
+                out[i] = _pil_decode_one(paths[i], image_size)
+        return out
     for i, p in enumerate(paths):
-        img = Image.open(p).convert("RGB").resize(
-            (image_size, image_size), Image.BILINEAR
-        )
-        out[i] = np.asarray(img, np.float32) / 127.5 - 1.0
+        out[i] = _pil_decode_one(p, image_size)
     return out
 
 
 class NativeImageFolderDataset:
-    """Drop-in for data.datasets.ImageFolderDataset with native batch IO."""
+    """Drop-in for data.datasets.ImageFolderDataset with native batch IO.
+    Listing / split semantics are DELEGATED to ImageFolderDataset so the two
+    can never diverge."""
 
     def __init__(self, img_dir: str, image_size: int = 256,
                  test_nums: Optional[int] = None, train: bool = True):
-        files = os.listdir(img_dir)
-        if test_nums is not None:
-            files = files[:-test_nums] if train else files[-test_nums:]
-        self.paths = [os.path.join(img_dir, f) for f in files]
+        from asyrp_official_tpu.data.datasets import ImageFolderDataset
+
+        base = ImageFolderDataset(img_dir, image_size, test_nums, train)
+        self.paths = [os.path.join(img_dir, f) for f in base.files]
         self.image_size = image_size
 
     def __len__(self):

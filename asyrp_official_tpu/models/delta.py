@@ -201,6 +201,10 @@ class EditState:
     ignore_timestep: bool = False
     use_mask: bool = False
     input_style: str = "slerp"
+    # timesteps of the stacked delta_rows (static metadata — survives
+    # jit/pytree round-trips, unlike a shadow attribute); None when rows
+    # follow the full generation grid or mode != 'input'
+    times: Optional[Tuple[int, ...]] = None
 
     def at_step(self, aux) -> "EditState":
         """Bind the per-step gate/index supplied by the sampler."""
@@ -220,7 +224,9 @@ jax.tree_util.register_dataclass(
         "clip_direction",
         "alpha",
     ],
-    meta_fields=["mode", "flavor", "ignore_timestep", "use_mask", "input_style"],
+    meta_fields=[
+        "mode", "flavor", "ignore_timestep", "use_mask", "input_style", "times",
+    ],
 )
 
 

@@ -77,13 +77,23 @@ bool decode_png(const char* path, Image* img) {
   std::memset(&pimg, 0, sizeof(pimg));
   pimg.version = PNG_IMAGE_VERSION;
   if (!png_image_begin_read_from_file(&pimg, path)) return false;
-  pimg.format = PNG_FORMAT_RGB;
+  // Read RGBA and DROP alpha — matching PIL's convert("RGB") semantics
+  // (requesting PNG_FORMAT_RGB would composite alpha onto the background,
+  // diverging from the PIL fallback path on transparent images).
+  pimg.format = PNG_FORMAT_RGBA;
   img->w = pimg.width;
   img->h = pimg.height;
-  img->rgb.resize(PNG_IMAGE_SIZE(pimg));
-  if (!png_image_finish_read(&pimg, nullptr, img->rgb.data(), 0, nullptr)) {
+  std::vector<uint8_t> rgba(PNG_IMAGE_SIZE(pimg));
+  if (!png_image_finish_read(&pimg, nullptr, rgba.data(), 0, nullptr)) {
     png_image_free(&pimg);
     return false;
+  }
+  img->rgb.resize(size_t(img->w) * img->h * 3);
+  const size_t n = size_t(img->w) * img->h;
+  for (size_t i = 0; i < n; ++i) {
+    img->rgb[i * 3 + 0] = rgba[i * 4 + 0];
+    img->rgb[i * 3 + 1] = rgba[i * 4 + 1];
+    img->rgb[i * 3 + 2] = rgba[i * 4 + 2];
   }
   return true;
 }
@@ -189,20 +199,24 @@ void resize_normalize(const Image& img, int size, float* out) {
 }  // namespace
 
 extern "C" int asyrp_decode_resize_batch(const char** paths, int n, int size,
-                                         float* out, int n_threads) {
+                                         float* out, int n_threads,
+                                         uint8_t* status /* may be null */) {
   if (n_threads < 1) n_threads = 1;
   std::atomic<int> next(0);
-  std::atomic<int> failed(0);  // 0 = ok, else index+1
+  std::atomic<int> n_failed(0);
   auto worker = [&]() {
     for (;;) {
       int i = next.fetch_add(1);
-      if (i >= n || failed.load()) return;
+      if (i >= n) return;
       Image img;
       if (!decode_any(paths[i], &img)) {
-        int expect = 0;
-        failed.compare_exchange_strong(expect, i + 1);
-        return;
+        // keep going: record per-item status so the caller can repair
+        // EXACTLY the failed files (multiple failures are not masked)
+        if (status) status[i] = 1;
+        n_failed.fetch_add(1);
+        continue;
       }
+      if (status) status[i] = 0;
       resize_normalize(img, size, out + size_t(i) * size * size * 3);
     }
   };
@@ -211,5 +225,5 @@ extern "C" int asyrp_decode_resize_batch(const char** paths, int n, int size,
   pool.reserve(nt);
   for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
   for (auto& th : pool) th.join();
-  return failed.load();
+  return n_failed.load();
 }

@@ -94,6 +94,37 @@ def _pallas_attention(q, k, v, *, num_heads: int, legacy_scale: bool, interpret:
     )(q, k, v)
 
 
+# Differentiable wrapper: Pallas forward, XLA-vjp backward. The training
+# path differentiates through the whole UNet (Δ grads flow through the
+# decoder), and a bare pallas_call has no VJP — so the backward pass
+# recomputes via the mathematically identical XLA implementation.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _pallas_attention_diff(q, k, v, num_heads, legacy_scale, interpret):
+    return _pallas_attention(
+        q, k, v, num_heads=num_heads, legacy_scale=legacy_scale,
+        interpret=interpret,
+    )
+
+
+def _pad_fwd(q, k, v, num_heads, legacy_scale, interpret):
+    out = _pallas_attention_diff(q, k, v, num_heads, legacy_scale, interpret)
+    return out, (q, k, v)
+
+
+def _pad_bwd(num_heads, legacy_scale, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: xla_attention(
+            q_, k_, v_, num_heads=num_heads, legacy_scale=legacy_scale
+        ),
+        q, k, v,
+    )
+    return vjp(g)
+
+
+_pallas_attention_diff.defvjp(_pad_fwd, _pad_bwd)
+
+
 def fused_attention(
     q, k, v, *, num_heads: int = 1, legacy_scale: bool = False,
     force: Optional[str] = None,
@@ -105,15 +136,12 @@ def fused_attention(
     if mode == "xla":
         return xla_attention(q, k, v, num_heads=num_heads, legacy_scale=legacy_scale)
     if mode == "interpret":
-        return _pallas_attention(
-            q, k, v, num_heads=num_heads, legacy_scale=legacy_scale, interpret=True
-        )
+        return _pallas_attention_diff(q, k, v, num_heads, legacy_scale, True)
     on_tpu = jax.default_backend() == "tpu"
     if (mode == "pallas" or on_tpu) and attention_kernel_applicable(
         b, t, c, dtype_bytes=q.dtype.itemsize
     ):
-        return _pallas_attention(
-            q, k, v, num_heads=num_heads, legacy_scale=legacy_scale,
-            interpret=not on_tpu,
+        return _pallas_attention_diff(
+            q, k, v, num_heads, legacy_scale, not on_tpu
         )
     return xla_attention(q, k, v, num_heads=num_heads, legacy_scale=legacy_scale)

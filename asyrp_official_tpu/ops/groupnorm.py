@@ -92,6 +92,38 @@ def _pallas_gn_silu(x, scale, bias, *, groups, eps, with_silu, interpret):
     return out.reshape(b, h, w, c)
 
 
+def _xla_gn_silu(x, scale, bias, groups, eps, with_silu):
+    y = cm.group_norm({"scale": scale, "bias": bias}, x, groups=groups, eps=eps)
+    return cm.swish(y) if with_silu else y
+
+
+# Differentiable wrapper: Pallas forward, XLA-vjp backward (the training
+# path needs grads through the UNet; bare pallas_call has no VJP).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _pallas_gn_silu_diff(x, scale, bias, groups, eps, with_silu, interpret):
+    return _pallas_gn_silu(
+        x, scale, bias, groups=groups, eps=eps, with_silu=with_silu,
+        interpret=interpret,
+    )
+
+
+def _gn_fwd(x, scale, bias, groups, eps, with_silu, interpret):
+    out = _pallas_gn_silu_diff(x, scale, bias, groups, eps, with_silu, interpret)
+    return out, (x, scale, bias)
+
+
+def _gn_bwd(groups, eps, with_silu, interpret, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_: _xla_gn_silu(x_, s_, b_, groups, eps, with_silu),
+        x, scale, bias,
+    )
+    return vjp(g)
+
+
+_pallas_gn_silu_diff.defvjp(_gn_fwd, _gn_bwd)
+
+
 def fused_groupnorm_silu(
     p, x, *, groups: int = 32, eps: float = 1e-6, with_silu: bool = True,
     force: Optional[str] = None,
@@ -102,10 +134,8 @@ def fused_groupnorm_silu(
     if mode != "xla":
         on_tpu = jax.default_backend() == "tpu"
         if (mode in ("pallas", "interpret") or on_tpu) and gn_kernel_applicable(h, w, c):
-            return _pallas_gn_silu(
-                x, p["scale"], p["bias"], groups=groups, eps=eps,
-                with_silu=with_silu,
-                interpret=(mode == "interpret") or not on_tpu,
+            return _pallas_gn_silu_diff(
+                x, p["scale"], p["bias"], groups, eps, with_silu,
+                (mode == "interpret") or not on_tpu,
             )
-    y = cm.group_norm(p, x, groups=groups, eps=eps)
-    return cm.swish(y) if with_silu else y
+    return _xla_gn_silu(x, p["scale"], p["bias"], groups, eps, with_silu)

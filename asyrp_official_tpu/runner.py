@@ -351,10 +351,11 @@ class AsyrpRunner:
                     hs_coeff=jnp.array([1.0, 1.0]),
                     input_style=getattr(a, "delta_injection", "add"),
                     ignore_timestep=a.ignore_timesteps,
+                    # times of the stacked rows — save_grid maps generation
+                    # timesteps onto these (declared static field: survives
+                    # jit round-trips and dataclasses.replace)
+                    times=None if a.ignore_timesteps else tuple(seq_train),
                 )
-                # times of the stacked rows — save_grid maps generation
-                # timesteps onto these (grids differ when t_edit filters)
-                edit._times = None if a.ignore_timesteps else list(seq_train)
 
         # loss
         extra_loss = None
@@ -444,8 +445,9 @@ class AsyrpRunner:
             losses = []
             save_counter = 0
             for bi, ofs in enumerate(range(0, len(x_lat_all), a.bs_train)):
-                xb = jnp.asarray(x_lat_all[ofs : ofs + a.bs_train])
-                x0b = jnp.asarray(x0_all[ofs : ofs + a.bs_train])
+                dev = jax.devices()[0]
+                xb = jax.device_put(jnp.asarray(x_lat_all[ofs : ofs + a.bs_train]), dev)
+                x0b = jax.device_put(jnp.asarray(x0_all[ofs : ofs + a.bs_train]), dev)
                 if xb.shape[0] != a.bs_train:
                     break  # drop_last semantics
                 edit, opt_state, metrics = step(params, edit, opt_state, xb, x0b, lr)
@@ -547,7 +549,9 @@ class AsyrpRunner:
                 sample_type=a.sample_type,
                 collect=("x", "x0_t") if getattr(a, "save_process_origin", False) else (),
             )
-            x, ys = gen(params, jnp.asarray(x_lat), rng)
+            x, ys = gen(
+                params, jax.device_put(jnp.asarray(x_lat), jax.devices()[0]), rng
+            )
             rows.append(np.asarray(x))
             if getattr(a, "save_process_origin", False):
                 self._dump_process(ys, seq, folder, file_name, "origin")
@@ -556,7 +560,7 @@ class AsyrpRunner:
         if not getattr(a, "pass_editing", False) and edit is not None:
             delta_times = None
             if edit.mode == "input" and not a.ignore_timesteps:
-                delta_times = getattr(edit, "_times", None) or list(seq)
+                delta_times = list(edit.times) if edit.times else list(seq)
             collect = ()
             if collect_delta:
                 collect += ("delta_h",)
@@ -573,7 +577,10 @@ class AsyrpRunner:
             )
             for coeff in hs_coeff_list or [tuple(np.asarray(edit.hs_coeff))]:
                 e = dataclasses.replace(edit, hs_coeff=jnp.asarray(coeff, jnp.float32))
-                x, ys = run(params, e, jnp.asarray(x_lat), rng)
+                x, ys = run(
+                    params, e,
+                    jax.device_put(jnp.asarray(x_lat), jax.devices()[0]), rng,
+                )
                 rows.append(np.asarray(x))
                 if collect_delta:
                     harvested = np.asarray(ys["delta_h"])  # [S, B, h, w, C]
@@ -597,13 +604,13 @@ class AsyrpRunner:
                     compute_dtype=self.compute_dtype, **kw,
                 )
             else:
-                dt = kw.pop("delta_times")
+                dt = kw["delta_times"]
+                rest = {k: v for k, v in kw.items() if k != "delta_times"}
                 self._engine_cache[key] = engine.make_edit_generate(
                     self.spec, self.schedule, list(seq),
                     delta_times=list(dt) if dt else None,
-                    compute_dtype=self.compute_dtype, **kw,
+                    compute_dtype=self.compute_dtype, **rest,
                 )
-                kw["delta_times"] = dt
         return self._engine_cache[key]
 
     def _dump_process(self, ys, seq, folder, file_name, tag):
@@ -658,7 +665,10 @@ class AsyrpRunner:
         seq_test_edit = [t for t in seq_test if t >= self.t_edit]
         params = self.load_pretrained()
 
-        scaling = a.n_train_step / a.n_test_step * a.hs_coeff_delta_h
+        # 'no skip' (0) means the full T-step grid for scaling purposes
+        n_train_eff = a.n_train_step or self.schedule.num_timesteps
+        n_test_eff = a.n_test_step or self.schedule.num_timesteps
+        scaling = n_train_eff / n_test_eff * a.hs_coeff_delta_h
 
         # checkpoint resolution (diffusion_latent.py:594-610)
         if getattr(a, "manual_checkpoint_name", None):
@@ -825,8 +835,8 @@ class AsyrpRunner:
             input_style=getattr(a, "delta_injection", "add"),
             ignore_timestep=a.ignore_timesteps,
             use_mask=getattr(a, "masked_h", False) or getattr(a, "use_mask", False),
+            times=tuple(times) if times else None,
         )
-        e._times = times
         return e
 
     # ------------------------------------------------------------------

@@ -94,17 +94,22 @@ def main():
     from asyrp_official_tpu.parallel.mesh import pad_to_multiple
 
     batch_np, real = pad_to_multiple(batch_np, args.batch)
-    x = jax.device_put(jnp.asarray(batch_np[: args.batch]), dev)
 
-    t0 = time.perf_counter()
-    out = serve(params, edit, x, jax.random.PRNGKey(0))
-    out_np = np.asarray(out)  # host fetch = honest completion
-    dt = time.perf_counter() - t0
-    print(f"first call (incl. compile): {dt:.1f}s")
-
-    t0 = time.perf_counter()
-    out_np = np.asarray(serve(params, edit, x, jax.random.PRNGKey(1)))
-    print(f"steady state: {(time.perf_counter() - t0) * 1e3:.0f} ms/batch of {args.batch}")
+    # serve in fixed-size chunks: ONE compilation covers any request count
+    results = []
+    t_first = None
+    for ofs in range(0, batch_np.shape[0], args.batch):
+        x = jax.device_put(jnp.asarray(batch_np[ofs : ofs + args.batch]), dev)
+        t0 = time.perf_counter()
+        out_np = np.asarray(serve(params, edit, x, jax.random.PRNGKey(ofs)))
+        dt = time.perf_counter() - t0
+        if t_first is None:
+            t_first = dt
+            print(f"first call (incl. compile): {dt:.1f}s")
+        else:
+            print(f"steady state: {dt * 1e3:.0f} ms/batch of {args.batch}")
+        results.append(out_np)
+    out_np = np.concatenate(results)[:real]
 
     os.makedirs(args.out, exist_ok=True)
     for i in range(real):

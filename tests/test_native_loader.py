@@ -54,6 +54,38 @@ def test_bad_file_falls_back(img_files, tmp_path):
         nl.decode_resize_batch([bad], 32)
 
 
+def test_rgba_png_matches_pil_convention(tmp_path):
+    """Transparent PNGs: native must DROP alpha like PIL convert('RGB'),
+    not composite it onto black."""
+    if nl.get_lib() is None:
+        pytest.skip("native loader unavailable")
+    rng = np.random.RandomState(3)
+    rgba = (rng.rand(40, 40, 4) * 255).astype(np.uint8)
+    rgba[..., 3] = 0  # fully transparent — compositing would zero the RGB
+    p = str(tmp_path / "t.png")
+    Image.fromarray(rgba, "RGBA").save(p)
+    native = nl.decode_resize_batch([p], 40)[0]
+    pil = np.asarray(
+        Image.open(p).convert("RGB"), np.float32
+    ) / 127.5 - 1.0
+    np.testing.assert_allclose(native, pil, atol=1e-5)
+
+
+def test_multiple_bad_files_all_repaired(img_files, tmp_path):
+    """Per-item status: several undecodable files in one batch are each
+    repaired (or raised) individually, not masked by the first failure."""
+    if nl.get_lib() is None:
+        pytest.skip("native loader unavailable")
+    good = img_files[0]
+    bad1 = str(tmp_path / "b1.jpg")
+    bad2 = str(tmp_path / "b2.jpg")
+    for b in (bad1, bad2):
+        with open(b, "wb") as f:
+            f.write(b"\xff\xd8junk")
+    with pytest.raises(Exception):
+        nl.decode_resize_batch([bad1, good, bad2], 32)  # PIL also fails on them
+
+
 def test_dataset_wrapper(img_files):
     d = os.path.dirname(img_files[0])
     ds = nl.NativeImageFolderDataset(d, image_size=32)
