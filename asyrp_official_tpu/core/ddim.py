@@ -62,9 +62,17 @@ def ddim_step(
       (x_next, x0_t) — matching reference returns (:92, :97).
     """
     nd = x.ndim
-    at = bvec(jnp.asarray(at, x.dtype), nd)
-    at_next = bvec(jnp.asarray(at_next, x.dtype), nd)
-    eta = bvec(jnp.asarray(eta, x.dtype).reshape(-1), nd) if jnp.ndim(eta) else eta
+    # coefficient math stays float32 regardless of the carry dtype: alpha-bar
+    # near 1 collapses to exactly 1.0 in bf16 (8-bit mantissa), which would
+    # zero sqrt(1-at) and destroy early steps
+    out_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    eps = eps.astype(jnp.float32)
+    eps_mod = eps_mod.astype(jnp.float32)
+    noise = noise.astype(jnp.float32)
+    at = bvec(jnp.asarray(at, jnp.float32), nd)
+    at_next = bvec(jnp.asarray(at_next, jnp.float32), nd)
+    eta = bvec(jnp.asarray(eta, jnp.float32).reshape(-1), nd) if jnp.ndim(eta) else eta
 
     x0_t = (x - eps_mod * jnp.sqrt(1.0 - at)) / jnp.sqrt(at)
 
@@ -80,7 +88,7 @@ def ddim_step(
         x_dt = jnp.sqrt(at_next) * x0_t + jnp.sqrt(1.0 - at_next) * eps * dt_lambda
         x_next = jnp.where(bvec(jnp.asarray(apply_dt, x.dtype), nd) > 0, x_dt, x_next)
 
-    return x_next, x0_t
+    return x_next.astype(out_dtype), x0_t.astype(out_dtype)
 
 
 def ddpm_step(

@@ -91,6 +91,15 @@ def linear(p, x):
     return x @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
 
 
+def mat1x1(p, x):
+    """1x1 conv as a channel matmul on NHWC ([in, out] weight matrix) —
+    the shared lowering for all 1x1 convolutions."""
+    return jnp.einsum(
+        "bhwc,co->bhwo", x, p["w"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + p["b"].astype(x.dtype)
+
+
 def swish(x):
     return x * jax.nn.sigmoid(x)
 

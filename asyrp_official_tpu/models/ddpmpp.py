@@ -173,12 +173,7 @@ def init(key, cfg: DDPMppConfig) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 
-def _mat(p, x):
-    """1x1 conv as channel matmul on NHWC."""
-    return jnp.einsum(
-        "bhwc,co->bhwo", x, p["w"].astype(x.dtype),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype) + p["b"].astype(x.dtype)
+_mat = cm.mat1x1
 
 
 def _gn_silu(p, x):

@@ -66,11 +66,7 @@ def delta_block_init(key, ch: int, temb_ch: int, *, flavor: str = "ddpm"):
     raise ValueError(f"unknown DeltaBlock flavor: {flavor}")
 
 
-def _mat(p, x):
-    return jnp.einsum(
-        "bhwc,co->bhwo", x, p["w"].astype(x.dtype),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype) + p["b"].astype(x.dtype)
+_mat = cm.mat1x1
 
 
 def delta_block_apply(p, x, temb, *, flavor: str = "ddpm"):
@@ -145,18 +141,25 @@ def delta_block_global_apply(p, x, temb, clip_direction):
 # ---------------------------------------------------------------------------
 
 
-def slerp(t, v0, v1):
+def slerp(t, v0, v1, *, eps: float = 1e-7):
+    """NaN-safe: degenerate inputs (zero vectors, colinear pair — where the
+    reference's commented-out lerp fallback would apply, diffusion.py:24-26)
+    fall back to linear interpolation instead of 0/0. This matters because
+    the branch-free t_edit gate multiplies the UNSELECTED branch by 0, and
+    0·NaN = NaN would poison the trajectory."""
     b = v0.shape[0]
     v0f = v0.reshape(b, -1)
     v1f = v1.reshape(b, -1)
-    v0n = v0f / jnp.linalg.norm(v0f, axis=1, keepdims=True)
-    v1n = v1f / jnp.linalg.norm(v1f, axis=1, keepdims=True)
-    dot = jnp.sum(v0n * v1n, axis=1)
+    n0 = jnp.maximum(jnp.linalg.norm(v0f, axis=1, keepdims=True), eps)
+    n1 = jnp.maximum(jnp.linalg.norm(v1f, axis=1, keepdims=True), eps)
+    dot = jnp.sum((v0f / n0) * (v1f / n1), axis=1)
     theta_0 = jnp.arccos(jnp.clip(dot, -1.0, 1.0))
     sin_theta_0 = jnp.sin(theta_0)
+    degenerate = jnp.abs(sin_theta_0) < eps
+    sin_safe = jnp.where(degenerate, 1.0, sin_theta_0)
     theta_t = theta_0 * t
-    s0 = jnp.sin(theta_0 - theta_t) / sin_theta_0
-    s1 = jnp.sin(theta_t) / sin_theta_0
+    s0 = jnp.where(degenerate, 1.0 - t, jnp.sin(theta_0 - theta_t) / sin_safe)
+    s1 = jnp.where(degenerate, t, jnp.sin(theta_t) / sin_safe)
     shape = (b,) + (1,) * (v0.ndim - 1)
     return s0.reshape(shape) * v0 + s1.reshape(shape) * v1
 
@@ -257,6 +260,10 @@ def apply_edit(edit: EditState, h: jnp.ndarray, temb: jnp.ndarray):
         row = jnp.take(edit.delta_rows, edit.delta_idx, axis=0, mode="clip")
         delta_h = jnp.broadcast_to(row[None], h.shape).astype(h.dtype)
         if edit.input_style == "add":
+            assert hs_coeff.shape[0] >= 2, (
+                f"'add' injection needs hs_coeff = (c_h, c_delta), got "
+                f"{hs_coeff.shape[0]} entries — JAX would silently clamp"
+            )
             h2 = h * hs_coeff[0] + delta_h * hs_coeff[1]
         elif edit.use_mask:
             # DiffStyle mask region (models/ddpm/diffusion.py:520-528);
@@ -265,10 +272,15 @@ def apply_edit(edit: EditState, h: jnp.ndarray, temb: jnp.ndarray):
             partial = slerp(1.0 - hs_coeff[0], h * mask, delta_h * mask)
             h2 = partial + (1.0 - mask) * h
         else:
-            # norm-matched slerp (models/ddpm/diffusion.py:530-539)
+            # norm-matched slerp (models/ddpm/diffusion.py:530-539); the
+            # delta norm is floored so an all-zero row (e.g. the delta_idx=0
+            # placeholder below t_edit) yields 0, not NaN — which would
+            # survive the branch-free gate (0*NaN = NaN)
             b = h.shape[0]
             h_norm = jnp.linalg.norm(h.reshape(b, -1), axis=1)
-            d_norm = jnp.linalg.norm(delta_h.reshape(b, -1), axis=1)
+            d_norm = jnp.maximum(
+                jnp.linalg.norm(delta_h.reshape(b, -1), axis=1), 1e-12
+            )
             shape = (b,) + (1,) * (h.ndim - 1)
             normalized = h_norm.reshape(shape) * delta_h / d_norm.reshape(shape)
             h2 = slerp(1.0 - hs_coeff[0], h, normalized)

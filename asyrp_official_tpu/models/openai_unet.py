@@ -255,9 +255,7 @@ def _resblock(p, spec, cfg, x, emb):
     h = cm.conv2d(p["out_conv"], h)
 
     if "skip_mat" in p:
-        x = jnp.einsum(
-            "bhwc,co->bhwo", x, p["skip_mat"]["w"].astype(x.dtype)
-        ) + p["skip_mat"]["b"].astype(x.dtype)
+        x = cm.mat1x1(p["skip_mat"], x)
     elif "skip_conv" in p:
         x = cm.conv2d(p["skip_conv"], x)
     return x + h

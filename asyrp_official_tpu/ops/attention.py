@@ -135,12 +135,20 @@ def fused_attention(
     b, t, c = q.shape
     if mode == "xla":
         return xla_attention(q, k, v, num_heads=num_heads, legacy_scale=legacy_scale)
-    if mode == "interpret":
+    applicable = attention_kernel_applicable(b, t, c, dtype_bytes=q.dtype.itemsize)
+    if force in ("pallas", "interpret") and not applicable:
+        # an EXPLICIT kernel request must not silently become XLA — that
+        # would make pallas-vs-xla validation runs compare XLA to itself.
+        # (env-var forcing is advisory: models mix applicable and
+        # non-applicable layer shapes)
+        raise ValueError(
+            f"attention kernel explicitly forced but not applicable for "
+            f"({b}, {t}, {c}) {q.dtype} (VMEM/alignment constraints)"
+        )
+    if mode == "interpret" and applicable:
         return _pallas_attention_diff(q, k, v, num_heads, legacy_scale, True)
     on_tpu = jax.default_backend() == "tpu"
-    if (mode == "pallas" or on_tpu) and attention_kernel_applicable(
-        b, t, c, dtype_bytes=q.dtype.itemsize
-    ):
+    if (mode == "pallas" or on_tpu) and applicable:
         return _pallas_attention_diff(
             q, k, v, num_heads, legacy_scale, not on_tpu
         )

@@ -42,14 +42,17 @@ def _gn_silu_kernel(
     g = g_ref[:]  # [C, G] indicator
     n = float(t * cg)
     colsum = jnp.sum(x, axis=0, keepdims=True)  # [1, C]
-    sqsum = jnp.sum(x * x, axis=0, keepdims=True)
     gmean = jnp.dot(colsum, g, preferred_element_type=jnp.float32) / n  # [1, G]
-    gex2 = jnp.dot(sqsum, g, preferred_element_type=jnp.float32) / n
-    gvar = gex2 - gmean * gmean
-    ginv = jax.lax.rsqrt(gvar + eps)
     mean_c = jnp.dot(gmean, g.T, preferred_element_type=jnp.float32)  # [1, C]
+    # TWO-pass variance (E[(x-mean)^2]): the one-pass E[x^2]-E[x]^2 form
+    # cancels catastrophically for large-mean activations and would diverge
+    # from the two-pass XLA fallback / backward pass
+    xc = x - mean_c
+    sqsum = jnp.sum(xc * xc, axis=0, keepdims=True)
+    gvar = jnp.dot(sqsum, g, preferred_element_type=jnp.float32) / n
+    ginv = jax.lax.rsqrt(gvar + eps)
     inv_c = jnp.dot(ginv, g.T, preferred_element_type=jnp.float32)
-    y = (x - mean_c) * inv_c * scale_ref[0] + bias_ref[0]
+    y = xc * inv_c * scale_ref[0] + bias_ref[0]
     if with_silu:
         y = y * jax.nn.sigmoid(y)
     o_ref[0] = y.astype(o_ref.dtype)
@@ -133,7 +136,15 @@ def fused_groupnorm_silu(
     b, h, w, c = x.shape
     if mode != "xla":
         on_tpu = jax.default_backend() == "tpu"
-        if (mode in ("pallas", "interpret") or on_tpu) and gn_kernel_applicable(h, w, c):
+        applicable = gn_kernel_applicable(h, w, c, dtype_bytes=x.dtype.itemsize)
+        if force in ("pallas", "interpret") and not applicable:
+            # explicit force must not silently fall back (env forcing is
+            # advisory — models mix applicable/non-applicable shapes)
+            raise ValueError(
+                f"GN kernel explicitly forced but not applicable for "
+                f"({h}, {w}, {c}) {x.dtype} (VMEM/lane constraints)"
+            )
+        if (mode in ("pallas", "interpret") or on_tpu) and applicable:
             return _pallas_gn_silu_diff(
                 x, p["scale"], p["bias"], groups, eps, with_silu,
                 (mode == "interpret") or not on_tpu,
