@@ -98,18 +98,14 @@ def blocks_to_torch_sd(block, flavor: str) -> Dict[str, np.ndarray]:
             "conv2": _inv_mat(block["conv2"]),
         }
     elif flavor == "openai":
+        # the reference DeltaBlock uses conv_nd(dims=2, ..., 1) → Conv2d with
+        # [O, I, 1, 1] kernels (verified against the released dog_* ckpts)
         groups = {
             "in_layers.0": _inv_norm(block["in_norm"]),
-            "in_layers.2": {
-                "weight": np.asarray(block["in_conv"]["w"]).T[:, :, None],
-                "bias": np.asarray(block["in_conv"]["b"]),
-            },
+            "in_layers.2": _inv_mat(block["in_conv"]),
             "emb_layers.1": _inv_lin(block["emb"]),
             "out_layers.0": _inv_norm(block["out_norm"]),
-            "out_layers.3": {
-                "weight": np.asarray(block["out_conv"]["w"]).T[:, :, None],
-                "bias": np.asarray(block["out_conv"]["b"]),
-            },
+            "out_layers.3": _inv_mat(block["out_conv"]),
         }
     else:
         raise ValueError(f"unknown flavor {flavor}")
