@@ -149,11 +149,11 @@ def test_imagenet_plan_sanity():
     )
     params = openai_unet.init(jax.random.PRNGKey(0), tiny)
     assert "label_emb" in params
-    x = jnp.zeros((2, 32, 32, 3))
     t = jnp.full((2,), 100.0)
     y = jnp.array([3, 7])
-    # eps is zero at init (zero_module out conv) — the label embedding must
-    # show up in the bottleneck features
-    *_, mid_y = openai_unet.apply(params, tiny, x, t, y=y)
-    *_, mid_n = openai_unet.apply(params, tiny, x, t)
-    assert not np.allclose(np.asarray(mid_y), np.asarray(mid_n))
+    # at zero-init every residual branch is dead (zero_module out convs),
+    # so class conditioning is checked at the embedding level
+    emb_y = openai_unet.get_temb(params, tiny, t, y)
+    emb_n = openai_unet.get_temb(params, tiny, t)
+    assert not np.allclose(np.asarray(emb_y), np.asarray(emb_n))
+    assert not np.allclose(np.asarray(emb_y[0]), np.asarray(emb_y[1]))  # per-class
