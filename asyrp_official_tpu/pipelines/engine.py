@@ -38,12 +38,43 @@ def _plain_eps(spec: ModelSpec, params, compute_dtype):
     return eps_fn
 
 
-def _edited_eps(spec: ModelSpec, params, edit: EditState, compute_dtype):
+def _edited_eps(
+    spec: ModelSpec, params, edit: EditState, compute_dtype,
+    skip_below_edit: bool = False,
+):
+    """skip_below_edit: below t_edit the edit is gated off (h2 = h), so the
+    stacked dual decode produces eps_mod ≡ eps bit-for-bit — the reference
+    still pays for the second decoder there (models/ddpm/diffusion.py:540-578).
+    With this flag a lax.cond runs the SINGLE decode on those steps instead:
+    exact same outputs, ~35% less work per below-t_edit step. Disabled when
+    Δh harvesting needs the per-step delta output."""
+
     def eps_fn(x, t, aux):
         xm = x.astype(compute_dtype)
-        eps, eps_mod, delta_h, middle_h = spec.apply(
-            params, xm, t, edit=edit.at_step(aux)
-        )
+
+        def dual(xm):
+            eps, eps_mod, delta_h, _ = spec.apply(
+                params, xm, t, edit=edit.at_step(aux)
+            )
+            return eps, eps_mod, delta_h
+
+        if not skip_below_edit:
+            eps, eps_mod, delta_h = dual(xm)
+        else:
+            def single(xm):
+                eps, _, _, _ = spec.apply(params, xm, t)
+                return eps, eps, None
+
+            # both branches must return matching pytrees → only valid for
+            # modes whose delta output isn't collected (delta_h dropped)
+            eps, eps_mod, _ = jax.lax.cond(
+                aux["use_delta"] > 0,
+                lambda xm: dual(xm)[:2] + (None,),
+                lambda xm: single(xm),
+                xm,
+            )
+            delta_h = None
+
         extras = {}
         if delta_h is not None:
             # masked below t_edit so mean-of-Δh harvesting only accumulates
@@ -146,11 +177,14 @@ def make_edit_generate(
         delta_times=delta_times,
         ignore_timesteps=ignore_timesteps,
     )
+    # exact optimization: single decode below t_edit (see _edited_eps) —
+    # unavailable when the per-step delta output is being harvested
+    skip = "delta_h" not in collect
 
     @jax.jit
     def run(params, edit, x_lat, rng):
         return sample_chain(
-            _edited_eps(spec, params, edit, compute_dtype),
+            _edited_eps(spec, params, edit, compute_dtype, skip_below_edit=skip),
             schedule,
             table,
             x_lat,
@@ -193,7 +227,8 @@ def make_invert_edit(
             learn_sigma=spec.learn_sigma,
         )
         x_edit, _ = sample_chain(
-            _edited_eps(spec, params, edit, compute_dtype), schedule,
+            _edited_eps(spec, params, edit, compute_dtype, skip_below_edit=True),
+            schedule,
             gen_table, x_lat, rng=rng, learn_sigma=spec.learn_sigma,
         )
         return x_edit
