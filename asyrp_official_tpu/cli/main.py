@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
     add("--lpips", action="store_true")
     add("--just_precompute", action="store_true")
     add("--diff_style", action="store_true", help="h-space style transfer")
+    add("--run_fidelity", action="store_true",
+        help="real-weights runbook: invert+edit test images through the "
+             "fused serving engine and emit the LPIPS gate report vs "
+             "--fidelity_ref_dir (fails fast listing missing artifacts)")
+    add("--fidelity_ref_dir", type=str, default=None,
+        help="directory of torch-reference outputs (matching file names)")
 
     # config / experiment
     add("--config", type=str, required=True, help="config yml name or path")
@@ -64,6 +70,14 @@ def build_parser() -> argparse.ArgumentParser:
     add("--sh_file_name", type=str, default="")
     add("--bf16", action="store_true", help="run the UNet in bfloat16")
     add("--work_dir", type=str, default=".")
+
+    # multi-chip (the reference's DataParallel analog, integrated in the
+    # runner: batches sharded over a jax.sharding.Mesh, params replicated)
+    add("--dp", type=int, default=0,
+        help="data-parallel over N chips (-1 = all); bs_train must divide")
+    add("--tp_spatial", action="store_true",
+        help="with --dp: shard ONE image's activation height across the "
+             "chips (serving-latency mode; image_size must divide by --dp)")
 
     # editing target
     add("--edit_attr", type=str, default=None)
@@ -170,6 +184,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     # paths / weights
     add("--model_path", type=str, default=None)
+    add("--allow_random_weights", action="store_true",
+        help="run on RANDOM base-model weights (tests/plumbing only; "
+             "without this a missing --model_path is an error)")
+    add("--download_weights", action="store_true",
+        help="auto-download the pretrained base ckpt (registry URLs; "
+             "mirrors the reference's unconditional auto-download, "
+             "diffusion_latent.py:81-106)")
     add("--img_path", type=str, default=None)
     add("--custom_train_dataset_dir", type=str, default="train_images")
     add("--custom_test_dataset_dir", type=str, default="test_images")
@@ -272,6 +293,8 @@ def main(argv=None):
             runner.run_test()
         elif args.lpips:
             runner.run_lpips()
+        elif args.run_fidelity:
+            runner.run_fidelity()
         elif args.diff_style:
             runner.run_style_transfer()
         else:

@@ -77,6 +77,7 @@ def precompute_pairs(
     class_name: Optional[str] = None,
     save_imgs_dir: Optional[str] = None,
     shuffle_seed: Optional[int] = None,
+    put=None,
 ) -> Dict[str, np.ndarray]:
     """Invert the first `n_img` dataset images and reconstruct them.
     Returns {"x0", "x_rec", "x_lat"} each [n_img, H, W, C].
@@ -84,7 +85,9 @@ def precompute_pairs(
     `save_imgs_dir` writes `{mode}_{i}_0_orig.png` / `_1_lat_ninv{n}.png` /
     `_1_rec_ninv{n}.png` per image (`--save_precomputed_images`,
     diffusion_latent.py:1026-1076). `shuffle_seed` permutes the dataset
-    order (`--shuffle_train_dataloader`)."""
+    order (`--shuffle_train_dataloader`). `put` commits a numpy batch to
+    device(s) — e.g. mesh batch-sharding; it may PAD the batch axis (outputs
+    are sliced back to the real count here)."""
     base = pairs_cache_path(
         cache_dir, category, mode, t_0, n_img, n_inv_step, class_name=class_name
     )
@@ -126,12 +129,13 @@ def precompute_pairs(
 
     for ofs in range(0, len(xs), batch_size):
         chunk = np.stack(xs[ofs : ofs + batch_size]).astype(np.float32)
-        x0 = jnp.asarray(chunk)
+        n_real = chunk.shape[0]
+        x0 = jnp.asarray(chunk) if put is None else put(chunk)
         x_lat, _ = invert(params, x0)
         x_rec, _ = generate(params, x_lat, jax.random.PRNGKey(0))
         out["x0"].append(chunk)
-        out["x_rec"].append(np.asarray(x_rec))
-        out["x_lat"].append(np.asarray(x_lat))
+        out["x_rec"].append(np.asarray(x_rec)[:n_real])
+        out["x_lat"].append(np.asarray(x_lat)[:n_real])
 
     pairs = {k: np.concatenate(v)[:n_img] if v else np.zeros((0,)) for k, v in out.items()}
     _save_cache(base, pairs)
@@ -203,6 +207,7 @@ def random_noise_pairs(
     seed: int = 0,
     compute_dtype=jnp.float32,
     t_0: int = 999,
+    put=None,
 ) -> Dict[str, np.ndarray]:
     """`--load_random_noise` path (diffusion_latent.py:1087-1188): xT ~
     N(0,I); with `saved_noise` also generate x0 by a full reverse pass and
@@ -225,9 +230,10 @@ def random_noise_pairs(
     generate = engine.make_generate(spec, schedule, seq, compute_dtype=compute_dtype)
     recs = []
     for ofs in range(0, n_img, batch_size):
-        chunk = jnp.asarray(x_lat[ofs : ofs + batch_size])
+        chunk_np = x_lat[ofs : ofs + batch_size]
+        chunk = jnp.asarray(chunk_np) if put is None else put(chunk_np)
         x, _ = generate(params, chunk, jax.random.PRNGKey(ofs))
-        recs.append(np.asarray(x))
+        recs.append(np.asarray(x)[: chunk_np.shape[0]])
     x_rec = np.concatenate(recs)
     pairs = {"x0": x_rec, "x_rec": x_rec, "x_lat": x_lat}
     _save_cache(base, pairs)

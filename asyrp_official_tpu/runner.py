@@ -35,6 +35,7 @@ from asyrp_official_tpu.data.imageio import save_image
 from asyrp_official_tpu.models import ddpmpp, openai_unet
 from asyrp_official_tpu.models.delta import EditState, delta_block_init
 from asyrp_official_tpu.models.registry import ModelSpec, PRETRAINED_URLS
+from asyrp_official_tpu.parallel import mesh as pmesh
 from asyrp_official_tpu.pipelines import engine, precompute as pc
 from asyrp_official_tpu.pipelines import train as tr
 from asyrp_official_tpu.pipelines.interval import select_interval
@@ -132,6 +133,36 @@ class AsyrpRunner:
             jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
         )
 
+        # multi-chip: the reference wraps the model in DataParallel inside
+        # the runner (diffusion_latent.py:179,195,591,1201); our equivalent
+        # is a data-axis mesh owned by the runner — batches sharded, frozen
+        # UNet + Δ params replicated, Δ-grad psum inserted by GSPMD.
+        dp = int(getattr(args, "dp", 0) or 0)
+        self.mesh = None
+        self.tp_spatial = bool(getattr(args, "tp_spatial", False))
+        if dp:
+            n = len(jax.devices()) if dp == -1 else dp
+            self.mesh = pmesh.make_mesh(n)
+            if self.tp_spatial:
+                # serving-latency mode: ONE image's activation height axis
+                # sharded across the chips (parallel/spatial.py)
+                if config["data"]["image_size"] % n:
+                    raise ValueError(
+                        f"--tp_spatial: image_size={config['data']['image_size']} "
+                        f"must divide by --dp {n}"
+                    )
+                # Pallas fused kernels aren't GSPMD-partitionable — force the
+                # (perf-equivalent) XLA paths for sharded activations
+                os.environ["ASYRP_TPU_ATTN"] = "xla"
+                os.environ["ASYRP_TPU_GN"] = "xla"
+            elif getattr(args, "bs_train", 1) % n:
+                # the reference asserts the same (main.py:326-327)
+                raise ValueError(
+                    f"bs_train={args.bs_train} must divide by --dp {n}"
+                )
+        elif self.tp_spatial:
+            raise ValueError("--tp_spatial requires --dp")
+
         # prompt resolution (diffusion_latent.py:65-73)
         if getattr(args, "edit_attr", None) not in (None, "attribute"):
             self.src_txts, self.trg_txts = assets.src_trg_prompts()[args.edit_attr]
@@ -143,31 +174,95 @@ class AsyrpRunner:
         self._engine_cache = {}
 
     # ------------------------------------------------------------------
+    # placement (single-device pin, or mesh sharding under --dp)
+    # ------------------------------------------------------------------
+    def _put(self, x) -> jax.Array:
+        """Commit a [B, H, W, C] batch: data-axis sharded on the mesh
+        (or height-sharded under --tp_spatial); device-pinned otherwise."""
+        x = jnp.asarray(x)
+        if self.mesh is None:
+            return jax.device_put(x, jax.devices()[0])
+        if self.tp_spatial:
+            from asyrp_official_tpu.parallel.spatial import spatial_shard
+
+            return spatial_shard(self.mesh, x)
+        return pmesh.shard_batch(self.mesh, x)
+
+    def _put_padded(self, x) -> Tuple[jax.Array, int]:
+        """Like _put but pads the batch axis to the mesh multiple; returns
+        (committed, n_real) — callers slice outputs back to n_real."""
+        x = np.asarray(x)
+        n = x.shape[0]
+        if self.mesh is not None and not self.tp_spatial:
+            x, _ = pmesh.pad_to_multiple(x, self.mesh.devices.size)
+        return self._put(x), n
+
+    def _replicate(self, tree):
+        """Replicate params / Δ state / optimizer state onto the mesh."""
+        if self.mesh is None:
+            return tree
+        return pmesh.replicate(self.mesh, tree)
+
+    # ------------------------------------------------------------------
     # model loading
     # ------------------------------------------------------------------
     def load_pretrained(self):
-        """Frozen base-model params: --model_path (torch ckpt) or random
-        init (explicitly logged — auto-download is not available in
-        zero-egress environments; URLs recorded in registry.PRETRAINED_URLS)."""
+        """Frozen base-model params. Resolution order:
+          1. --model_path (torch ckpt, converted) — must exist: a mistyped
+             path must fail, not silently edit with garbage (the reference
+             fails on torch.load, diffusion_latent.py:124);
+          2. --download_weights → fetch registry.PRETRAINED_URLS into
+             pretrained/ (the reference auto-downloads unconditionally,
+             diffusion_latent.py:81-106; we gate it for zero-egress hosts);
+          3. --allow_random_weights → random init (plumbing tests ONLY —
+             explicitly opted into, loudly logged);
+          4. otherwise raise with the exact artifact needed."""
         if self._params is not None:
             return self._params
         path = getattr(self.args, "model_path", None)
+        if path and not os.path.exists(path):
+            raise FileNotFoundError(
+                f"--model_path {path!r} does not exist "
+                f"(pretrained ckpt URL for this dataset: "
+                f"{PRETRAINED_URLS.get(_route_key(self.config))})"
+            )
+        if not path and getattr(self.args, "download_weights", False):
+            from asyrp_official_tpu.utils.download import download_pretrained
+
+            path = download_pretrained(
+                _route_key(self.config), dest_dir=self._dir("pretrained")
+            )
+            log.info("downloaded pretrained diffusion model to %s", path)
         if path:
             from asyrp_official_tpu.compat.torch_convert import load_state_dict_numpy
 
             sd = load_state_dict_numpy(path)
             params = self.spec.params_from_torch(sd)
             log.info("loaded pretrained diffusion model from %s", path)
-        else:
-            url = PRETRAINED_URLS.get(_route_key(self.config))
+        elif getattr(self.args, "allow_random_weights", False):
             log.warning(
-                "no --model_path given; using RANDOM weights (pretrained ckpt "
-                "for this dataset: %s)", url,
+                "--allow_random_weights: using RANDOM weights — outputs are "
+                "NOT meaningful edits (pretrained ckpt for this dataset: %s)",
+                PRETRAINED_URLS.get(_route_key(self.config)),
             )
             with jax.default_device(jax.devices("cpu")[0]):
                 params = self.spec.init(jax.random.PRNGKey(self.args.seed))
-        self._params = params
-        return params
+        else:
+            url = PRETRAINED_URLS.get(_route_key(self.config))
+            hint = (
+                f"pass --model_path <ckpt> (auto-download URL: {url}), or "
+                "--download_weights to fetch it"
+                if url
+                else "pass --model_path <ckpt> (no auto-download URL for this "
+                "dataset — see utils.download.GDRIVE_NOTES for manual sources)"
+            )
+            raise FileNotFoundError(
+                f"no pretrained diffusion weights for "
+                f"{_route_key(self.config)}: {hint}; --allow_random_weights "
+                "runs with random weights (tests/plumbing only)"
+            )
+        self._params = self._replicate(params)
+        return self._params
 
     # ------------------------------------------------------------------
     # interval
@@ -242,6 +337,7 @@ class AsyrpRunner:
                 saved_noise=getattr(a, "saved_random_noise", False),
                 batch_size=a.bs_train, seed=a.seed, t_0=a.t_0,
                 compute_dtype=self.compute_dtype,
+                put=lambda c: self._put_padded(c)[0],
             )
         from asyrp_official_tpu.configs.paths import DATASET_PATHS
 
@@ -277,6 +373,7 @@ class AsyrpRunner:
                 if mode == "train" and getattr(a, "shuffle_train_dataloader", False)
                 else None
             ),
+            put=lambda c: self._put_padded(c)[0],
         )
 
     def _dir(self, name: str) -> str:
@@ -386,8 +483,9 @@ class AsyrpRunner:
             )
 
         opt = tr.make_optimizer(a.lr_training, a.scheduler_step_size, a.sch_gamma)
+        edit = self._replicate(edit)
         trainable = edit.blocks if train_target == "blocks" else edit.delta_rows
-        opt_state = opt.init(trainable)
+        opt_state = self._replicate(opt.init(trainable))
         step = tr.make_train_step(
             self.spec, self.schedule, seq_train, t_edit=self.t_edit,
             optimizer=opt, loss_fn=loss_fn, train_target=train_target,
@@ -445,11 +543,10 @@ class AsyrpRunner:
             losses = []
             save_counter = 0
             for bi, ofs in enumerate(range(0, len(x_lat_all), a.bs_train)):
-                dev = jax.devices()[0]
-                xb = jax.device_put(jnp.asarray(x_lat_all[ofs : ofs + a.bs_train]), dev)
-                x0b = jax.device_put(jnp.asarray(x0_all[ofs : ofs + a.bs_train]), dev)
-                if xb.shape[0] != a.bs_train:
+                if x_lat_all[ofs : ofs + a.bs_train].shape[0] != a.bs_train:
                     break  # drop_last semantics
+                xb = self._put(x_lat_all[ofs : ofs + a.bs_train])
+                x0b = self._put(x0_all[ofs : ofs + a.bs_train])
                 edit, opt_state, metrics = step(params, edit, opt_state, xb, x0b, lr)
                 losses.append(float(metrics["loss"]))
                 # reference checks its counter BEFORE incrementing — saves at
@@ -538,6 +635,7 @@ class AsyrpRunner:
     ):
         a = self.args
         rng = rng if rng is not None else jax.random.PRNGKey(a.seed)
+        x_dev, n_real = self._put_padded(x_lat)
         rows = []
         if a.save_x0 and x0 is not None:
             rows.append(np.asarray(x0))
@@ -549,12 +647,10 @@ class AsyrpRunner:
                 sample_type=a.sample_type,
                 collect=("x", "x0_t") if getattr(a, "save_process_origin", False) else (),
             )
-            x, ys = gen(
-                params, jax.device_put(jnp.asarray(x_lat), jax.devices()[0]), rng
-            )
-            rows.append(np.asarray(x))
+            x, ys = gen(params, x_dev, rng)
+            rows.append(np.asarray(x)[:n_real])
             if getattr(a, "save_process_origin", False):
-                self._dump_process(ys, seq, folder, file_name, "origin")
+                self._dump_process(ys, seq, folder, file_name, "origin", n_real)
 
         harvested = None
         if not getattr(a, "pass_editing", False) and edit is not None:
@@ -577,15 +673,13 @@ class AsyrpRunner:
             )
             for coeff in hs_coeff_list or [tuple(np.asarray(edit.hs_coeff))]:
                 e = dataclasses.replace(edit, hs_coeff=jnp.asarray(coeff, jnp.float32))
-                x, ys = run(
-                    params, e,
-                    jax.device_put(jnp.asarray(x_lat), jax.devices()[0]), rng,
-                )
-                rows.append(np.asarray(x))
+                x, ys = run(params, e, x_dev, rng)
+                rows.append(np.asarray(x)[:n_real])
                 if collect_delta:
-                    harvested = np.asarray(ys["delta_h"])  # [S, B, h, w, C]
+                    # [S, B, h, w, C], sliced to the un-padded batch
+                    harvested = np.asarray(ys["delta_h"])[:, :n_real]
                 if getattr(a, "save_process_delta_h", False):
-                    self._dump_process(ys, seq, folder, file_name, "delta_h")
+                    self._dump_process(ys, seq, folder, file_name, "delta_h", n_real)
 
         grid = np.concatenate(rows, axis=0)
         out = os.path.join(folder, f"{file_name}_ngen{a.n_train_step}.png")
@@ -613,14 +707,14 @@ class AsyrpRunner:
                 )
         return self._engine_cache[key]
 
-    def _dump_process(self, ys, seq, folder, file_name, tag):
+    def _dump_process(self, ys, seq, folder, file_name, tag, n_real=None):
         """Per-step [x; x0_t] grids (diffusion_latent.py:485-489, 523-527)."""
         from asyrp_official_tpu.core.steptable import generation_table
 
         out_dir = os.path.join(folder, file_name)
         os.makedirs(out_dir, exist_ok=True)
         ts = generation_table(seq).t
-        xs, x0s = np.asarray(ys["x"]), np.asarray(ys["x0_t"])
+        xs, x0s = np.asarray(ys["x"])[:, :n_real], np.asarray(ys["x0_t"])[:, :n_real]
         for i, t in enumerate(ts):
             frame = np.concatenate([xs[i], x0s[i]], axis=0)
             save_image(
@@ -820,6 +914,133 @@ class AsyrpRunner:
                         # edited with the harvested mean rows
                         edit = self._edit_from_rows(rows, hs_coeff, seq_test)
         return edit
+
+    # ------------------------------------------------------------------
+    # fidelity runbook (the BASELINE acceptance gate: LPIPS <= 0.01 vs the
+    # torch reference's outputs on real weights)
+    # ------------------------------------------------------------------
+    def run_fidelity(self):
+        """Real-weights fidelity gate: invert→edit every test image through
+        the fused serving engine (pipelines/engine.make_invert_edit) with a
+        trained/released Δ checkpoint, write per-image outputs, and — given
+        --fidelity_ref_dir with the torch reference's outputs (same file
+        names) — emit the pipelines/fidelity LPIPS report.
+
+        In a weights-less environment this fails FAST, reporting every
+        missing artifact at once (the runbook's shopping list)."""
+        a = self.args
+        missing = []
+        route = _route_key(self.config)
+        if (
+            not getattr(a, "model_path", None)
+            and not getattr(a, "download_weights", False)
+            and not getattr(a, "allow_random_weights", False)
+        ):
+            missing.append(
+                f"base diffusion ckpt: --model_path <ckpt> "
+                f"(URL: {PRETRAINED_URLS.get(route)}) or --download_weights"
+            )
+        elif getattr(a, "model_path", None) and not os.path.exists(a.model_path):
+            missing.append(
+                f"base diffusion ckpt: --model_path {a.model_path!r} not found"
+            )
+        if getattr(a, "manual_checkpoint_name", None):
+            ckpt = os.path.join(self._dir("checkpoint"), a.manual_checkpoint_name)
+        else:
+            ckpt = self._ckpt_path(a.n_iter - 1)
+        if not os.path.exists(ckpt):
+            missing.append(
+                f"trained Δ checkpoint: {ckpt} (36 released .pth ship in the "
+                "reference repo's checkpoint/ — loadable as-is)"
+            )
+        ref_dir = getattr(a, "fidelity_ref_dir", None)
+        if ref_dir and self.lpips_params is None:
+            missing.append(
+                "LPIPS weights: --lpips_ckpt (npz converted via "
+                "losses.lpips_jax.params_from_torch from the lpips package's "
+                "AlexNet + lin heads)"
+            )
+        if ref_dir and not os.path.isdir(ref_dir):
+            missing.append(
+                f"reference outputs: --fidelity_ref_dir {ref_dir!r} not found"
+            )
+        if missing:
+            raise FileNotFoundError(
+                "fidelity runbook is missing artifacts:\n  - "
+                + "\n  - ".join(missing)
+            )
+
+        self.set_interval()
+        params = self.load_pretrained()
+        seq_inv = uniform_seq(a.n_inv_step, a.t_0)
+        seq_test = uniform_seq(a.n_test_step, a.t_0)
+        n_train_eff = a.n_train_step or self.schedule.num_timesteps
+        n_test_eff = a.n_test_step or self.schedule.num_timesteps
+        scaling = n_train_eff / n_test_eff * a.hs_coeff_delta_h
+        loaded = delta_ckpt.load_delta_checkpoint(ckpt)
+        if "blocks" not in loaded:
+            raise ValueError(
+                "the fidelity runbook expects a DeltaBlock checkpoint "
+                "(train_delta_block flavor — the released format)"
+            )
+        edit = EditState(
+            blocks=(jax.tree.map(jnp.asarray, loaded["blocks"][0]),),
+            hs_coeff=jnp.asarray(
+                (1.0 * a.hs_coeff_origin_h, 1.0 * scaling), jnp.float32
+            ),
+            flavor=self.spec.delta_flavor,
+            ignore_timestep=a.ignore_timesteps,
+        )
+        run = engine.make_invert_edit(
+            self.spec, self.schedule, seq_inv, seq_test,
+            t_edit=self.t_edit, t_addnoise=self.t_addnoise,
+            compute_dtype=self.compute_dtype,
+        )
+
+        from asyrp_official_tpu.configs.paths import DATASET_PATHS
+
+        d = self.config["data"]
+        paths = dict(DATASET_PATHS)
+        paths.update(getattr(a, "dataset_paths", {}) or {})
+        if d["category"] == "CUSTOM":
+            paths["custom_train"] = a.custom_train_dataset_dir
+            paths["custom_test"] = a.custom_test_dataset_dir
+        _, test_ds = data.get_dataset(
+            d["dataset"], paths, category=d["category"],
+            image_size=d["image_size"],
+        )
+        out_dir = self._dir(os.path.join(a.exp, "fidelity"))
+        if self.mesh is None:
+            params = jax.device_put(params, jax.devices()[0])
+        edit = self._replicate(edit)
+        rng = jax.random.PRNGKey(a.seed)
+        n = min(a.n_test_img, len(test_ds))
+        for ofs in range(0, n, a.bs_train):
+            idxs = list(range(ofs, min(ofs + a.bs_train, n)))
+            x0 = np.stack([np.asarray(test_ds[i]) for i in idxs])
+            x_dev, n_real = self._put_padded(x0)
+            out = np.asarray(run(params, edit, x_dev, rng))[:n_real]
+            for k, i in enumerate(idxs):
+                save_image(
+                    out[k][None], os.path.join(out_dir, f"test_{i}.png"), pm1=True
+                )
+        log.info("fidelity outputs: %s (%d images)", out_dir, n)
+        if not ref_dir:
+            return {"out_dir": out_dir, "n": n}
+
+        import json
+
+        from asyrp_official_tpu.pipelines.fidelity import compare_output_dirs
+
+        report = compare_output_dirs(out_dir, ref_dir, self.lpips_params)
+        report_path = os.path.join(out_dir, "lpips_report.json")
+        with open(report_path, "w") as f:
+            json.dump(report, f, indent=1)
+        log.info(
+            "fidelity LPIPS mean=%.4f max=%.4f n=%d -> %s (gate: mean <= 0.01)",
+            report["mean"], report["max"], report["n"], report_path,
+        )
+        return report
 
     def _edit_from_rows(self, rows_dict, hs_coeff, seq_test) -> EditState:
         a = self.args

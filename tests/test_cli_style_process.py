@@ -54,7 +54,7 @@ def _common(ws, extra):
         "--n_inv_step", "4", "--n_train_step", "4", "--n_test_step", "4",
         "--n_train_img", "2", "--n_test_img", "2", "--bs_train", "1",
         "--user_defined_t_edit", "500", "--user_defined_t_addnoise", "100",
-        "--lr_training", "0.01", "--n_iter", "1", "--clip_loss_w", "0", "--ni",
+        "--lr_training", "0.01", "--n_iter", "1", "--clip_loss_w", "0", "--ni", "--allow_random_weights",
     ] + extra
 
 

@@ -1,0 +1,141 @@
+"""The real-weights fidelity runbook (--run_fidelity) and the loud-failure
+weight policy: missing weights must ERROR with the exact artifact list, not
+silently fall back to random params (VERDICT r1: runner.py:161-168 trap)."""
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+import jax
+
+from asyrp_official_tpu.cli.main import build_parser, main as cli_main
+from asyrp_official_tpu.runner import AsyrpRunner
+
+TINY_CONFIG = {
+    "data": {"dataset": "CelebA_HQ", "category": "CUSTOM", "image_size": 32,
+             "channels": 3},
+    "model": {"family": "ddpmpp", "in_channels": 3, "out_ch": 3, "ch": 32,
+              "ch_mult": [1, 2], "num_res_blocks": 1, "attn_resolutions": [16],
+              "dropout": 0.0, "var_type": "fixedsmall", "resamp_with_conv": True,
+              "learn_sigma": False},
+    "diffusion": {"beta_schedule": "linear", "beta_start": 0.0001,
+                  "beta_end": 0.02, "num_diffusion_timesteps": 1000},
+}
+
+
+@pytest.fixture(scope="module")
+def ws(tmp_path_factory):
+    ws = tmp_path_factory.mktemp("wsf")
+    (ws / "imgs").mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8)).save(
+            ws / "imgs" / f"{i}.png"
+        )
+    with open(ws / "tiny.yml", "w") as f:
+        yaml.safe_dump(TINY_CONFIG, f)
+    return ws
+
+
+def _common(ws, exp, extra):
+    return [
+        "--config", str(ws / "tiny.yml"), "--exp", str(ws / "runs" / exp),
+        "--edit_attr", "smiling",
+        "--custom_train_dataset_dir", str(ws / "imgs"),
+        "--custom_test_dataset_dir", str(ws / "imgs"),
+        "--work_dir", str(ws),
+        "--n_inv_step", "4", "--n_train_step", "4", "--n_test_step", "4",
+        "--n_train_img", "2", "--n_test_img", "2", "--bs_train", "2",
+        "--user_defined_t_edit", "500", "--user_defined_t_addnoise", "100",
+        "--lr_training", "0.01", "--n_iter", "1", "--clip_loss_w", "0", "--ni",
+    ] + extra
+
+
+def test_missing_model_path_is_loud(ws):
+    """Without --allow_random_weights a missing --model_path raises,
+    naming the artifact (the reference fails on torch.load too,
+    diffusion_latent.py:124)."""
+    args = build_parser().parse_args(
+        _common(ws, "loud", ["--run_test", "--train_delta_block"])
+    )
+    config = yaml.safe_load(open(ws / "tiny.yml"))
+    r = AsyrpRunner(args, config, work_dir=str(ws))
+    with pytest.raises(FileNotFoundError, match="pretrained diffusion weights"):
+        r.load_pretrained()
+
+
+def test_mistyped_model_path_is_loud(ws):
+    args = build_parser().parse_args(
+        _common(ws, "loud2", ["--run_test", "--train_delta_block",
+                              "--model_path", str(ws / "nope.ckpt")])
+    )
+    config = yaml.safe_load(open(ws / "tiny.yml"))
+    r = AsyrpRunner(args, config, work_dir=str(ws))
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        r.load_pretrained()
+
+
+def test_fidelity_fails_fast_with_full_artifact_list(ws):
+    """All missing artifacts are reported AT ONCE (the shopping list)."""
+    args = build_parser().parse_args(
+        _common(ws, "fid_fail", [
+            "--run_fidelity",
+            "--fidelity_ref_dir", str(ws / "no_such_ref_dir"),
+        ])
+    )
+    config = yaml.safe_load(open(ws / "tiny.yml"))
+    r = AsyrpRunner(args, config, work_dir=str(ws))
+    with pytest.raises(FileNotFoundError) as ei:
+        r.run_fidelity()
+    msg = str(ei.value)
+    assert "base diffusion ckpt" in msg
+    assert "trained Δ checkpoint" in msg
+    assert "LPIPS weights" in msg
+    assert "reference outputs" in msg
+
+
+def test_fidelity_runbook_end_to_end(ws):
+    """Train a tiny Δ, run the runbook to produce per-image outputs, then
+    gate those outputs against themselves (LPIPS == 0 <= 0.01)."""
+    exp = "fid"
+    rc = cli_main(_common(ws, exp, [
+        "--run_train", "--train_delta_block", "--do_test", "0",
+        "--allow_random_weights",
+    ]))
+    assert rc == 0
+
+    rc = cli_main(_common(ws, exp, [
+        "--run_fidelity", "--train_delta_block", "--allow_random_weights",
+    ]))
+    assert rc == 0
+    fid_dirs = [
+        os.path.join(r, d)
+        for r, ds, _ in os.walk(ws / "runs")
+        for d in ds if d == "fidelity"
+    ]
+    assert fid_dirs, "no fidelity output dir"
+    out_dir = fid_dirs[0]
+    outs = sorted(os.listdir(out_dir))
+    assert outs == ["test_0.png", "test_1.png"], outs
+
+    # self-comparison as the 'reference': LPIPS must be 0 (gate passes)
+    ref_dir = str(ws / "ref_outputs")
+    shutil.copytree(out_dir, ref_dir)
+    from asyrp_official_tpu.losses import lpips_jax
+
+    lp = jax.tree.map(np.asarray, lpips_jax.init(jax.random.PRNGKey(0)))
+    np.savez(ws / "lpips.npz", params=np.array(lp, dtype=object))
+
+    rc = cli_main(_common(ws, exp, [
+        "--run_fidelity", "--train_delta_block", "--allow_random_weights",
+        "--fidelity_ref_dir", ref_dir,
+        "--lpips_ckpt", str(ws / "lpips.npz"),
+    ]))
+    assert rc == 0
+    report = json.load(open(os.path.join(out_dir, "lpips_report.json")))
+    assert report["n"] == 2
+    assert report["mean"] <= 0.01

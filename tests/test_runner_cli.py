@@ -51,7 +51,7 @@ def _common(ws, extra):
         "--user_defined_t_edit", "500", "--user_defined_t_addnoise", "100",
         "--lr_training", "0.01", "--n_iter", "1",
         "--clip_loss_w", "0",  # no CLIP weights in this environment
-        "--ni",
+        "--ni", "--allow_random_weights",
     ] + extra
 
 

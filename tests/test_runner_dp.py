@@ -1,0 +1,140 @@
+"""Multi-chip as a PRODUCT feature: the CLI/runner on the 8-device virtual
+mesh must produce the same checkpoints and grids as single-device (VERDICT
+r1 item 2 — the reference integrates DataParallel inside its runner,
+diffusion_latent.py:179,195,591,1201)."""
+import os
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+import jax
+
+from asyrp_official_tpu.cli.main import main as cli_main
+
+TINY_CONFIG = {
+    "data": {"dataset": "CelebA_HQ", "category": "CUSTOM", "image_size": 32,
+             "channels": 3},
+    "model": {"family": "ddpmpp", "in_channels": 3, "out_ch": 3, "ch": 32,
+              "ch_mult": [1, 2], "num_res_blocks": 1, "attn_resolutions": [16],
+              "dropout": 0.0, "var_type": "fixedsmall", "resamp_with_conv": True,
+              "learn_sigma": False},
+    "diffusion": {"beta_schedule": "linear", "beta_start": 0.0001,
+                  "beta_end": 0.02, "num_diffusion_timesteps": 1000},
+}
+
+
+@pytest.fixture(scope="module")
+def ws(tmp_path_factory):
+    ws = tmp_path_factory.mktemp("wsdp")
+    (ws / "imgs").mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8)).save(
+            ws / "imgs" / f"{i}.png"
+        )
+    with open(ws / "tiny.yml", "w") as f:
+        yaml.safe_dump(TINY_CONFIG, f)
+    return ws
+
+
+def _args(ws, work, extra):
+    return [
+        "--config", str(ws / "tiny.yml"), "--exp", str(ws / work / "runs" / "e"),
+        "--edit_attr", "smiling",
+        "--custom_train_dataset_dir", str(ws / "imgs"),
+        "--custom_test_dataset_dir", str(ws / "imgs"),
+        "--work_dir", str(ws / work),
+        "--n_inv_step", "4", "--n_train_step", "4", "--n_test_step", "4",
+        "--n_train_img", "2", "--n_test_img", "2", "--bs_train", "2",
+        "--user_defined_t_edit", "500", "--user_defined_t_addnoise", "100",
+        "--lr_training", "0.01", "--n_iter", "1", "--clip_loss_w", "0",
+        "--ni", "--allow_random_weights",
+    ] + extra
+
+
+def _grids(root):
+    return sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".png") and "test_" in f
+    )
+
+
+def _ckpt(root):
+    d = os.path.join(root, "checkpoint")
+    return os.path.join(d, [c for c in os.listdir(d) if c.endswith("_0.pth")][0])
+
+
+def _run(ws, work, extra_train=(), extra_test=()):
+    rc = cli_main(_args(ws, work, ["--run_train", "--train_delta_block",
+                                   "--do_test", "0"] + list(extra_train)))
+    assert rc == 0
+    rc = cli_main(_args(ws, work, ["--run_test", "--train_delta_block",
+                                   "--save_x_origin"] + list(extra_test)))
+    assert rc == 0
+
+
+def test_dp_runner_matches_single_device(ws):
+    from asyrp_official_tpu.compat.delta_ckpt import load_delta_checkpoint
+
+    _run(ws, "sd")
+    _run(ws, "dp", extra_train=["--dp", "2"], extra_test=["--dp", "2"])
+
+    # Δ checkpoint parity: the sharded training step (grad psum over the
+    # mesh) must land on the same parameters
+    a = load_delta_checkpoint(_ckpt(ws / "sd"))
+    b = load_delta_checkpoint(_ckpt(ws / "dp"))
+    flat_a = jax.tree.leaves(a["blocks"])
+    flat_b = jax.tree.leaves(b["blocks"])
+    for la, lb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(la, lb, atol=5e-5)
+
+    # grid parity: same file names, near-identical pixels (uint8)
+    ga, gb = _grids(ws / "sd"), _grids(ws / "dp")
+    assert [os.path.basename(p) for p in ga] == [os.path.basename(p) for p in gb]
+    assert ga, "no grids written"
+    for pa, pb in zip(ga, gb):
+        ia = np.asarray(Image.open(pa), np.int16)
+        ib = np.asarray(Image.open(pb), np.int16)
+        assert np.abs(ia - ib).max() <= 2, (pa, pb)
+
+
+def test_tp_spatial_serving_matches(ws):
+    """--tp_spatial: one image's activations sharded over 4 devices through
+    the SAME runner path; the grid must match the unsharded run pixel-wise
+    (same work dir → same cached latents → pure decode comparison)."""
+    import shutil
+
+    serve = ["--bs_train", "1", "--n_test_img", "1", "--save_x_origin"]
+    rc = cli_main(_args(ws, "tps", ["--run_train", "--train_delta_block",
+                                    "--do_test", "0"]))
+    assert rc == 0
+    rc = cli_main(_args(ws, "tps", ["--run_test", "--train_delta_block"] + serve))
+    assert rc == 0
+    gs = _grids(ws / "tps")
+    assert gs, "no grid from the unsharded serve"
+    baseline = {p: np.asarray(Image.open(p), np.int16).copy() for p in gs}
+    for p in gs:
+        os.remove(p)
+
+    rc = cli_main(_args(ws, "tps", ["--run_test", "--train_delta_block",
+                                    "--dp", "4", "--tp_spatial"] + serve))
+    assert rc == 0
+    gs2 = _grids(ws / "tps")
+    assert sorted(gs2) == sorted(baseline), (gs2, list(baseline))
+    for p in gs2:
+        ib = np.asarray(Image.open(p), np.int16)
+        assert np.abs(baseline[p] - ib).max() <= 2, p
+
+
+def test_dp_divisibility_is_checked(ws):
+    from asyrp_official_tpu.runner import AsyrpRunner
+    from asyrp_official_tpu.cli.main import build_parser
+
+    args = build_parser().parse_args(_args(ws, "bad", ["--dp", "3"]))
+    config = yaml.safe_load(open(ws / "tiny.yml"))
+    with pytest.raises(ValueError, match="must divide"):
+        AsyrpRunner(args, config, work_dir=str(ws / "bad"))
