@@ -1,0 +1,174 @@
+"""LPIPS METRIC verification (VERDICT r1 item 9): losses/lpips_jax must
+compute the same number as the `lpips` package's pipeline in torch.
+
+The lpips package itself isn't installed here, so the torch side is a
+line-for-line mirror of its documented forward (richzhang/PerceptualSimilarity
+lpips/lpips.py: ScalingLayer → torchvision-AlexNet features at the 5 ReLU
+taps → unit-normalize over channels (eps 1e-10) → squared diff → nonneg 1x1
+lin weights → spatial average → sum over taps), driven with RANDOM AlexNet
+weights converted through `lpips_jax.params_from_torch` — the exact entry
+point real converted weights use. This upgrades the stage from
+format-verified to metric-verified; calibrated numbers still require the
+real weights (user-supplied, zero egress here).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from asyrp_official_tpu.losses import lpips_jax
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn
+import torch.nn.functional as F
+
+# lpips ScalingLayer constants (lpips/lpips.py)
+_SHIFT = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+_SCALE = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+
+class TorchAlexFeatures(nn.Module):
+    """torchvision AlexNet `features` (the lpips 'alex' backbone layout):
+    conv(3→64,k11,s4,p2) ReLU pool / conv(→192,k5,p2) ReLU pool /
+    conv(→384,k3,p1) ReLU / conv(→256,k3,p1) ReLU / conv(→256,k3,p1) ReLU."""
+
+    def __init__(self):
+        super().__init__()
+        self.convs = nn.ModuleList([
+            nn.Conv2d(3, 64, 11, stride=4, padding=2),
+            nn.Conv2d(64, 192, 5, padding=2),
+            nn.Conv2d(192, 384, 3, padding=1),
+            nn.Conv2d(384, 256, 3, padding=1),
+            nn.Conv2d(256, 256, 3, padding=1),
+        ])
+
+    def forward(self, x):
+        taps = []
+        for i, c in enumerate(self.convs):
+            x = F.relu(c(x))
+            taps.append(x)
+            if i in (0, 1):
+                x = F.max_pool2d(x, 3, stride=2)
+        return taps
+
+
+def _torch_lpips(alex, lins, x0, x1):
+    """The lpips-package forward, mirrored."""
+
+    def norm(t, eps=1e-10):
+        n = torch.sqrt(torch.sum(t ** 2, dim=1, keepdim=True))
+        return t / (n + eps)
+
+    f0 = alex((x0 - _SHIFT) / _SCALE)
+    f1 = alex((x1 - _SHIFT) / _SCALE)
+    total = 0.0
+    for i in range(5):
+        d = (norm(f0[i]) - norm(f1[i])) ** 2
+        w = lins[i].view(1, -1, 1, 1)               # lin 1x1 conv, no bias
+        total = total + (d * w).sum(dim=1).mean(dim=(1, 2))
+    return total
+
+
+@pytest.fixture(scope="module")
+def weights():
+    torch.manual_seed(0)
+    alex = TorchAlexFeatures()
+    lins = [torch.rand(c) * 0.1 for c in (64, 192, 384, 256, 256)]
+    # state dicts in the exact layouts params_from_torch consumes
+    idx = [0, 3, 6, 8, 10]
+    alex_sd = {}
+    for j, conv in zip(idx, alex.convs):
+        alex_sd[f"features.{j}.weight"] = conv.weight.detach().numpy()
+        alex_sd[f"features.{j}.bias"] = conv.bias.detach().numpy()
+    lin_sd = {
+        f"lin{i}.model.1.weight": lins[i].view(1, -1, 1, 1).numpy()
+        for i in range(5)
+    }
+    jparams = lpips_jax.params_from_torch(alex_sd, lin_sd)
+    return alex, lins, jparams
+
+
+def test_lpips_value_matches_torch_mirror(weights):
+    alex, lins, jparams = weights
+    rng = np.random.RandomState(0)
+    x0 = rng.rand(3, 64, 64, 3).astype(np.float32) * 2 - 1
+    x1 = np.clip(x0 + rng.randn(3, 64, 64, 3).astype(np.float32) * 0.2, -1, 1)
+
+    ours = np.asarray(lpips_jax.lpips(jparams, jnp.asarray(x0), jnp.asarray(x1)))
+    with torch.no_grad():
+        ref = _torch_lpips(
+            alex, lins,
+            torch.from_numpy(np.transpose(x0, (0, 3, 1, 2))),
+            torch.from_numpy(np.transpose(x1, (0, 3, 1, 2))),
+        ).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+    assert ours.min() > 0  # distinct images → positive distance
+
+
+def test_lpips_identity_is_zero(weights):
+    _, _, jparams = weights
+    x = np.random.RandomState(1).rand(2, 64, 64, 3).astype(np.float32) * 2 - 1
+    d = np.asarray(lpips_jax.lpips(jparams, jnp.asarray(x), jnp.asarray(x)))
+    np.testing.assert_allclose(d, 0.0, atol=1e-6)
+
+
+def test_calibration_stage_values_match_metric(weights, tmp_path):
+    """The in-scan LPIPS of pipelines/lpips_stage must equal the metric
+    applied OUTSIDE the loop to the collected trajectory (the reference
+    computes it outside, diffusion_latent.py:1260-1263) — and the written
+    tsv rows must be those exact per-t means."""
+    alex, lins, jparams = weights
+
+    from asyrp_official_tpu.core.schedule import make_schedule, uniform_seq
+    from asyrp_official_tpu.models import ddpmpp
+    from asyrp_official_tpu.models.registry import ModelSpec
+    from asyrp_official_tpu.pipelines import engine
+    from asyrp_official_tpu.pipelines.lpips_stage import compute_lpips_distance
+    from asyrp_official_tpu.utils.assets import load_lpips_tsv
+
+    cfg = ddpmpp.DDPMppConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                              attn_resolutions=(16,), resolution=32)
+    spec = ModelSpec("ddpmpp", cfg, False, "ddpm")
+    sched = make_schedule()
+    params = spec.init(jax.random.PRNGKey(0))
+    n_steps, t_0 = 5, 999
+    x0 = np.random.RandomState(2).rand(2, 32, 32, 3).astype(np.float32) * 2 - 1
+
+    class DS:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return x0[i]
+
+    curves = compute_lpips_distance(
+        spec, params, sched, DS(), jparams, n_img=2,
+        n_inv_step=n_steps, t_0=t_0, batch_size=2, out_dir=str(tmp_path),
+        dataset_name="tiny",
+    )
+
+    # recompute the same chain collecting x / x0_t, metric applied after
+    seq = uniform_seq(n_steps, t_0)
+    inv = engine.make_invert(spec, sched, seq, collect=("x", "x0_t"))
+    _, ys = inv(params, jnp.asarray(x0))
+    xs, x0ts = np.asarray(ys["x"]), np.asarray(ys["x0_t"])
+    for si, t in enumerate(seq[1:]):
+        with torch.no_grad():
+            ref_x = _torch_lpips(
+                alex, lins,
+                torch.from_numpy(np.transpose(xs[si], (0, 3, 1, 2))),
+                torch.from_numpy(np.transpose(x0, (0, 3, 1, 2))),
+            ).numpy()
+            ref_x0t = _torch_lpips(
+                alex, lins,
+                torch.from_numpy(np.transpose(x0ts[si], (0, 3, 1, 2))),
+                torch.from_numpy(np.transpose(x0, (0, 3, 1, 2))),
+            ).numpy()
+        np.testing.assert_allclose(curves["x"][t], ref_x.mean(), rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(curves["x0_t"][t], ref_x0t.mean(), rtol=1e-3, atol=1e-5)
+
+    # the tsvs round-trip the curves
+    tsv = load_lpips_tsv(str(tmp_path / "tiny_LPIPS_distance_x0_t.tsv"))
+    for t, v in curves["x0_t"].items():
+        np.testing.assert_allclose(tsv[t], v, rtol=1e-5)
