@@ -3,19 +3,22 @@
 The geometry — eye/mouth anchored quad, shrink, pad with reflection +
 gaussian blend, quad transform to (256, 256) — is implemented here in pure
 numpy/PIL/scipy and takes 68-point landmarks as INPUT, so any detector can
-drive it. `run_alignment(path)` mirrors the reference entry point and is
-gated on dlib (not present in this image): it raises with instructions
-unless a landmarks array or a custom detector is supplied.
+drive it. `run_alignment(path)` mirrors the reference entry point: fully
+automatic with dlib installed (`dlib_detector`, incl. the shape-predictor
+auto-download, utils/align_utils.py:33-42); in dlib-less environments it
+raises with instructions unless a landmarks array or a custom detector is
+supplied.
 """
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 import numpy as np
 import PIL.Image
 import scipy.ndimage
 
-__all__ = ["align_face_from_landmarks", "run_alignment"]
+__all__ = ["align_face_from_landmarks", "run_alignment", "dlib_detector"]
 
 
 def align_face_from_landmarks(
@@ -113,21 +116,76 @@ def align_face_from_landmarks(
     return img
 
 
+def dlib_detector(
+    predictor_path: Optional[str] = None,
+    *,
+    download: bool = False,
+) -> Callable:
+    """Build the dlib 68-landmark detector the reference uses
+    (utils/align_utils.py:33-42, get_landmark :44-60): frontal face
+    detector → shape predictor → [68, 2] points of the FIRST face.
+
+    predictor_path: shape_predictor_68_face_landmarks.dat; defaults to
+    $ASYRP_TPU_SHAPE_PREDICTOR or pretrained/shape_predictor_68_face_landmarks.dat.
+    `download=True` fetches it (bz2) like the reference's auto-download."""
+    import dlib  # hard dep of this constructor only
+
+    predictor_path = (
+        predictor_path
+        or os.environ.get("ASYRP_TPU_SHAPE_PREDICTOR")
+        or os.path.join("pretrained", "shape_predictor_68_face_landmarks.dat")
+    )
+    if not os.path.exists(predictor_path):
+        if not download:
+            raise FileNotFoundError(
+                f"shape predictor not found at {predictor_path!r}; pass "
+                "predictor_path=, set ASYRP_TPU_SHAPE_PREDICTOR, or use "
+                "download=True (dlib.net/files/shape_predictor_68_face_"
+                "landmarks.dat.bz2)"
+            )
+        import bz2
+
+        from asyrp_official_tpu.utils.download import download_url
+
+        bz_path = download_url(
+            "http://dlib.net/files/shape_predictor_68_face_landmarks.dat.bz2",
+            predictor_path + ".bz2",
+        )
+        with bz2.open(bz_path, "rb") as src, open(predictor_path, "wb") as dst:
+            dst.write(src.read())
+        os.remove(bz_path)
+
+    face_detector = dlib.get_frontal_face_detector()
+    predictor = dlib.shape_predictor(predictor_path)
+
+    def detect(img: PIL.Image.Image) -> np.ndarray:
+        arr = np.asarray(img.convert("RGB"))
+        dets = face_detector(arr, 1)
+        if not dets:
+            raise ValueError("no face detected")
+        shape = predictor(arr, dets[0])
+        return np.asarray(
+            [(shape.part(i).x, shape.part(i).y) for i in range(68)], np.float64
+        )
+
+    return detect
+
+
 def run_alignment(
     image_path: str,
     *,
     landmarks: Optional[np.ndarray] = None,
     detector: Optional[Callable] = None,
+    predictor_path: Optional[str] = None,
     output_size: int = 256,
 ) -> PIL.Image.Image:
-    """Reference entry point (utils/align_utils.py:33). Supply `landmarks`
-    directly, or a `detector(PIL.Image) -> [68, 2]` callable; otherwise dlib
-    is attempted (not present in this image)."""
+    """Reference entry point (utils/align_utils.py:33): fully automatic with
+    dlib installed (landmarks detected via `dlib_detector`), or driven by an
+    explicit `landmarks` array / `detector(PIL.Image) -> [68, 2]` callable
+    in dlib-less environments."""
     img = PIL.Image.open(image_path).convert("RGB")
     if landmarks is None:
-        if detector is not None:
-            landmarks = detector(img)
-        else:
+        if detector is None:
             try:
                 import dlib  # noqa: F401
             except ImportError as e:
@@ -136,8 +194,6 @@ def run_alignment(
                     "`landmarks=`, a `detector=` callable, or install dlib "
                     "with the shape_predictor_68_face_landmarks model"
                 ) from e
-            raise NotImplementedError(
-                "dlib detected but automatic detection is not wired; pass "
-                "a detector callable"
-            )
+            detector = dlib_detector(predictor_path)
+        landmarks = detector(img)
     return align_face_from_landmarks(img, landmarks, output_size=output_size)

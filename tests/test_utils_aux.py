@@ -38,6 +38,62 @@ def test_run_alignment_gated_without_dlib(tmp_path):
     assert out.size == (256, 256)
 
 
+def test_run_alignment_with_detector_callable(tmp_path):
+    """A detector callable drives the same fully-automatic path the dlib
+    wiring uses (run_alignment → detector(img) → align)."""
+    p = str(tmp_path / "f.png")
+    Image.fromarray(
+        (np.random.RandomState(3).rand(200, 200, 3) * 255).astype(np.uint8)
+    ).save(p)
+    calls = []
+
+    def det(img):
+        calls.append(img.size)
+        return _synthetic_landmarks()
+
+    out = run_alignment(p, detector=det)
+    assert out.size == (256, 256)
+    assert calls == [(200, 200)]
+
+
+def test_dlib_detector_wiring(tmp_path, monkeypatch):
+    """The automatic path: with dlib importable, run_alignment must call
+    dlib_detector (no NotImplementedError anywhere); here dlib is faked to
+    verify the wiring end-to-end, including the predictor-path gate."""
+    import sys
+    import types
+
+    from asyrp_official_tpu.utils import align as al
+
+    lm = _synthetic_landmarks()
+
+    class _Shape:
+        def part(self, i):
+            return types.SimpleNamespace(x=float(lm[i, 0]), y=float(lm[i, 1]))
+
+    fake = types.SimpleNamespace(
+        get_frontal_face_detector=lambda: (lambda arr, n: ["face0"]),
+        shape_predictor=lambda path: (lambda arr, det: _Shape()),
+    )
+    monkeypatch.setitem(sys.modules, "dlib", fake)
+
+    # predictor file missing and download off → loud FileNotFoundError
+    monkeypatch.setenv("ASYRP_TPU_SHAPE_PREDICTOR", str(tmp_path / "missing.dat"))
+    with pytest.raises(FileNotFoundError, match="shape predictor"):
+        al.dlib_detector()
+
+    # with the predictor artifact present the full auto path runs
+    pred = tmp_path / "sp68.dat"
+    pred.write_bytes(b"fake")
+    monkeypatch.setenv("ASYRP_TPU_SHAPE_PREDICTOR", str(pred))
+    p = str(tmp_path / "f.png")
+    Image.fromarray(
+        (np.random.RandomState(4).rand(200, 200, 3) * 255).astype(np.uint8)
+    ).save(p)
+    out = al.run_alignment(p)
+    assert out.size == (256, 256)
+
+
 def test_snr_table_matches_shipped():
     sched = make_schedule()
     snr = assets.compute_snr_table(sched.alphas_cumprod)
