@@ -76,3 +76,30 @@ def test_spatial_shard_guard():
     m = pmesh.make_mesh()
     with pytest.raises(AssertionError):
         spatial_shard(m, jnp.zeros((1, 30, 32, 3)))  # 30 % 8 != 0
+
+
+def test_spatial_tp_compiles_to_collectives():
+    """The compiled spatially-sharded program must contain real inter-chip
+    communication (conv halo exchanges / norm reductions): collective ops in
+    the optimized HLO — proof the sharding is engineered parallelism, not a
+    silently-replicated fallback."""
+    m = pmesh.make_mesh()
+    if m.devices.size < 2:
+        pytest.skip("needs multiple devices")
+    params = pmesh.replicate(m, SPEC.init(jax.random.PRNGKey(0)))
+    x0 = spatial_shard(
+        m, jnp.asarray(np.random.RandomState(0).randn(1, 32, 32, 3), jnp.float32)
+    )
+    seq = uniform_seq(4, 999)
+    invert = engine.make_invert(SPEC, SCHED, seq)
+    compiled = invert.lower(params, x0).compile()
+    hlo = compiled.as_text()
+    found = [
+        op for op in
+        ("collective-permute", "all-reduce", "all-gather", "reduce-scatter")
+        if op in hlo
+    ]
+    assert found, "no collectives in the spatially-sharded program"
+    # and the output really is sharded over the height axis
+    out, _ = invert(params, x0)
+    assert not out.sharding.is_fully_replicated
