@@ -100,8 +100,13 @@ def main():
         if eps_s > best:
             best, best_bsz = eps_s, bsz
 
-    # secondary: p50 40-step invert+edit latency per image (stderr only)
+    # secondary: p50 40-step invert+edit latency per image, via the FUSED
+    # single-dispatch serving engine (pipelines/engine.make_invert_edit —
+    # one compiled program, one dispatch, one completion fetch)
+    p50_ms = None
     try:
+        import statistics
+
         sched = make_schedule()
         seq = uniform_seq(40, 999)
         with jax.default_device(jax.devices("cpu")[0]):
@@ -110,43 +115,81 @@ def main():
             )
         block = jax.device_put(block, dev)
         edit = EditState(blocks=(block,), hs_coeff=jnp.array([1.0, 1.0]))
-        invert = engine.make_invert(spec, sched, seq, compute_dtype=compute_dtype)
-        gen = engine.make_edit_generate(
-            spec, sched, seq, t_edit=516, t_addnoise=200,
+        run = engine.make_invert_edit(
+            spec, sched, seq, seq, t_edit=516, t_addnoise=200,
             compute_dtype=compute_dtype,
         )
         x = jax.device_put(
             jnp.asarray(np.random.RandomState(1).randn(1, 256, 256, 3), jnp.float32),
             dev,
         )
-        x_lat, _ = invert(params, x)
-        out, _ = gen(params, edit, x_lat, jax.random.PRNGKey(0))
-        force(out)  # compile
+        force(run(params, edit, x, jax.random.PRNGKey(0)))  # compile + warmup
         lats = []
-        for i in range(3):
+        for i in range(15):
             t0 = time.perf_counter()
-            x_lat, _ = invert(params, x)
-            out, _ = gen(params, edit, x_lat, jax.random.PRNGKey(i))
+            out = run(params, edit, x, jax.random.PRNGKey(i))
             force(out)
             lats.append(time.perf_counter() - t0)
-        log(f"p50 40-step invert+edit: {sorted(lats)[1]*1e3:.0f} ms/image")
+        lats.sort()
+        p50_ms = lats[len(lats) // 2] * 1e3
+        log(
+            f"p50 40-step invert+edit (fused, n=15): {p50_ms:.0f} ms/image "
+            f"(p10 {lats[1]*1e3:.0f}, p90 {lats[-2]*1e3:.0f})"
+        )
+
+        # per-op-class attribution at batch 1 (stderr): where the chain time
+        # goes — plain-eval floor vs dual-decode premium vs scan overhead
+        invert = engine.make_invert(spec, sched, seq, compute_dtype=compute_dtype)
+        force(invert(params, x)[0])
+        t0 = time.perf_counter()
+        for _ in range(3):
+            x_lat, _ = invert(params, x)
+        force(x_lat)
+        inv_ms = (time.perf_counter() - t0) / 3 * 1e3
+        genl = engine.make_edit_generate(
+            spec, sched, seq, t_edit=516, t_addnoise=200,
+            compute_dtype=compute_dtype,
+        )
+        force(genl(params, edit, x, jax.random.PRNGKey(0))[0])
+        t0 = time.perf_counter()
+        for i in range(3):
+            xe, _ = genl(params, edit, x, jax.random.PRNGKey(i))
+        force(xe)
+        edit_ms = (time.perf_counter() - t0) / 3 * 1e3
+        for bsz in (1, 2):
+            xb = jax.device_put(
+                jnp.asarray(np.random.RandomState(2).randn(bsz, 256, 256, 3),
+                            jnp.float32), dev,
+            )
+            tb = jax.device_put(jnp.full((bsz,), 500.0, jnp.float32), dev)
+            force(fwd(params, xb, tb))
+            t0 = time.perf_counter()
+            o = xb
+            for _ in range(8):
+                o = fwd(params, o, tb)
+            force(o)
+            ms = (time.perf_counter() - t0) / 8 * 1e3
+            log(f"plain fwd bsz={bsz}: {ms:.1f} ms ({ms/bsz:.1f} ms/eval)")
+        log(
+            f"breakdown: invert(39 evals)={inv_ms:.0f} ms, "
+            f"edit(40 steps, dual>=t_edit)={edit_ms:.0f} ms, "
+            f"fused p50={p50_ms:.0f} ms"
+        )
     except Exception as e:  # secondary metric must never kill the primary
         log(f"latency bench skipped: {type(e).__name__}: {e}")
 
     if trace_dir:
         jax.profiler.stop_trace()
 
-    print(
-        json.dumps(
-            {
-                "metric": "unet_fwd_evals_per_sec_chip_256",
-                "value": round(best, 3),
-                "unit": f"evals/s (bf16, bsz={best_bsz})",
-                "vs_baseline": round(best / REFERENCE_TORCH_CPU_EVALS_PER_SEC, 2),
-            }
-        ),
-        flush=True,
-    )
+    result = {
+        "metric": "unet_fwd_evals_per_sec_chip_256",
+        "value": round(best, 3),
+        "unit": f"evals/s (bf16, bsz={best_bsz})",
+        "vs_baseline": round(best / REFERENCE_TORCH_CPU_EVALS_PER_SEC, 2),
+    }
+    if p50_ms is not None:
+        result["p50_invert_edit_ms"] = round(p50_ms, 1)
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
