@@ -80,6 +80,7 @@ def compute_lpips_distance(
     out_dir: Optional[str] = None,
     dataset_name: str = "custom",
     compute_dtype=jnp.float32,
+    put=None,
 ) -> Dict[str, Dict[int, float]]:
     """Returns curves {"x": {t: mean}, "x_std": ..., "x0_t": ...,
     "x0_t_std": ...}; writes reference-format tsvs when `out_dir` given
@@ -95,10 +96,12 @@ def compute_lpips_distance(
         item = dataset[i]
         buf.append(item[0] if isinstance(item, tuple) else item)
         if len(buf) == batch_size or i == min(n_img, len(dataset)) - 1:
-            x0 = jnp.asarray(np.stack(buf).astype(np.float32))
+            chunk = np.stack(buf).astype(np.float32)
+            x0 = jnp.asarray(chunk) if put is None else put(chunk)
             d_x, d_x0t = chain(params, x0)
-            all_x.append(np.asarray(d_x))
-            all_x0t.append(np.asarray(d_x0t))
+            # slice off any mesh padding `put` added ([S, B] outputs)
+            all_x.append(np.asarray(d_x)[:, : chunk.shape[0]])
+            all_x0t.append(np.asarray(d_x0t)[:, : chunk.shape[0]])
             count += len(buf)
             buf = []
 

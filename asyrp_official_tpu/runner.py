@@ -1079,8 +1079,8 @@ class AsyrpRunner:
             for si in range(len(styles)):
                 stylized, _ = style_transfer(
                     self.spec, params, self.schedule,
-                    jnp.asarray(contents[ci][None]),
-                    jnp.asarray(styles[si][None]),
+                    self._put(contents[ci][None]),
+                    self._put(styles[si][None]),
                     n_inv_step=a.n_inv_step, n_gen_step=n_gen, t_0=a.t_0,
                     t_edit=self.t_edit,
                     hs_coeff=getattr(a, "hs_coeff", 0.9),
@@ -1127,4 +1127,5 @@ class AsyrpRunner:
             n_img=a.n_train_img, n_inv_step=a.n_inv_step, t_0=a.t_0,
             batch_size=a.bs_train, out_dir=self._dir("utils"),
             dataset_name=name, compute_dtype=self.compute_dtype,
+            put=lambda c: self._put_padded(c)[0],
         )

@@ -172,3 +172,40 @@ def test_calibration_stage_values_match_metric(weights, tmp_path):
     tsv = load_lpips_tsv(str(tmp_path / "tiny_LPIPS_distance_x0_t.tsv"))
     for t, v in curves["x0_t"].items():
         np.testing.assert_allclose(tsv[t], v, rtol=1e-5)
+
+
+def test_calibration_stage_with_padding_put(weights, tmp_path):
+    """A mesh-style `put` that PADS the batch must not change the curves."""
+    _, _, jparams = weights
+
+    from asyrp_official_tpu.core.schedule import make_schedule
+    from asyrp_official_tpu.models import ddpmpp
+    from asyrp_official_tpu.models.registry import ModelSpec
+    from asyrp_official_tpu.pipelines.lpips_stage import compute_lpips_distance
+
+    cfg = ddpmpp.DDPMppConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                              attn_resolutions=(16,), resolution=32)
+    spec = ModelSpec("ddpmpp", cfg, False, "ddpm")
+    sched = make_schedule()
+    params = spec.init(jax.random.PRNGKey(0))
+    x0 = np.random.RandomState(2).rand(2, 32, 32, 3).astype(np.float32) * 2 - 1
+
+    class DS:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return x0[i]
+
+    kw = dict(n_img=2, n_inv_step=4, t_0=999, batch_size=2)
+    plain = compute_lpips_distance(spec, params, sched, DS(), jparams, **kw)
+
+    def pad_put(c):
+        return jnp.asarray(np.concatenate([c, np.repeat(c[-1:], 2, 0)]))
+
+    padded = compute_lpips_distance(
+        spec, params, sched, DS(), jparams, put=pad_put, **kw
+    )
+    for key in plain:
+        for t, v in plain[key].items():
+            np.testing.assert_allclose(padded[key][t], v, rtol=1e-5, atol=1e-7)
