@@ -177,10 +177,11 @@ _mat = cm.mat1x1
 
 
 def _gn_silu(p, x):
-    """GroupNorm+SiLU — Pallas-fused when the map fits VMEM (ops/groupnorm)."""
-    from asyrp_official_tpu.ops.groupnorm import fused_groupnorm_silu
-
-    return fused_groupnorm_silu(p, x, eps=1e-6)
+    """GroupNorm+SiLU. XLA fuses this chain into the following conv; a
+    hand-written Pallas version was measured 17% SLOWER end-to-end at
+    batch 1 on the v5e (1213 vs 1003 ms fused invert+edit p50) and blocked
+    GSPMD partitioning, so it was removed (BASELINE.md round 2)."""
+    return cm.swish(cm.group_norm(p, x, eps=1e-6))
 
 
 def _resblock(p, x, temb):
@@ -197,15 +198,13 @@ def _resblock(p, x, temb):
 
 
 def _attn(p, x):
-    from asyrp_official_tpu.ops.attention import fused_attention
-
     b, hh, ww, c = x.shape
     h_ = cm.group_norm(p["norm"], x, eps=1e-6)
     flat = h_.reshape(b, hh * ww, c)
     q = cm.linear(p["q"], flat)
     k = cm.linear(p["k"], flat)
     v = cm.linear(p["v"], flat)
-    out = fused_attention(q, k, v, num_heads=1, legacy_scale=False)
+    out = cm.spatial_attention(q, k, v, num_heads=1, legacy_scale=False)
     out = cm.linear(p["proj_out"], out).reshape(b, hh, ww, c)
     return x + out
 

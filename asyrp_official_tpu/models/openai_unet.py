@@ -280,12 +280,10 @@ def _attnblock(p, spec, cfg, x):
         # layout [H][3ch] (QKVAttentionLegacy, unet.py:370-396)
         qkv = qkv.reshape(b, t, heads, 3, ch)
         q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]
-    from asyrp_official_tpu.ops.attention import fused_attention
-
     q = q.reshape(b, t, heads * ch)
     k = k.reshape(b, t, heads * ch)
     v = v.reshape(b, t, heads * ch)
-    out = fused_attention(q, k, v, num_heads=heads, legacy_scale=True)
+    out = cm.spatial_attention(q, k, v, num_heads=heads, legacy_scale=True)
     out = cm.linear(p["proj_out"], out)
     return x + out.reshape(b, hh, ww, c)
 

@@ -14,9 +14,8 @@ Usage (params replicated, input spatially sharded — engines unchanged):
     x = spatial_shard(mesh, x0)          # [B, H, W, C], H split over chips
     x_lat, _ = engine.make_invert(spec, sched, seq)(params, x)
 
-Note: the Pallas fused kernels cannot be GSPMD-partitioned — run spatially-
-sharded chains with ASYRP_TPU_ATTN=xla ASYRP_TPU_GN=xla (the XLA paths are
-perf-equivalent on this workload, see BASELINE.md).
+The compute path is pure XLA (GSPMD-partitionable everywhere); the compiled
+sharded program's collectives are asserted in tests/test_spatial_parallel.py.
 """
 from __future__ import annotations
 

@@ -151,10 +151,6 @@ class AsyrpRunner:
                         f"--tp_spatial: image_size={config['data']['image_size']} "
                         f"must divide by --dp {n}"
                     )
-                # Pallas fused kernels aren't GSPMD-partitionable — force the
-                # (perf-equivalent) XLA paths for sharded activations
-                os.environ["ASYRP_TPU_ATTN"] = "xla"
-                os.environ["ASYRP_TPU_GN"] = "xla"
             elif getattr(args, "bs_train", 1) % n:
                 # the reference asserts the same (main.py:326-327)
                 raise ValueError(

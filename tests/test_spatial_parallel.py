@@ -24,14 +24,7 @@ SPEC = ModelSpec("ddpmpp", CFG, False, "ddpm")
 SCHED = make_schedule()
 
 
-@pytest.fixture(autouse=True)
-def _xla_ops():
-    # Pallas kernels can't be GSPMD-partitioned — force the XLA paths
-    os.environ["ASYRP_TPU_ATTN"] = "xla"
-    os.environ["ASYRP_TPU_GN"] = "xla"
-    yield
-    os.environ.pop("ASYRP_TPU_ATTN", None)
-    os.environ.pop("ASYRP_TPU_GN", None)
+# the compute path is pure XLA — GSPMD partitions it with no special setup
 
 
 def test_spatially_sharded_inversion_matches():
