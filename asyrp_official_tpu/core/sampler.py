@@ -68,6 +68,7 @@ def sample_chain(
     dt_lambda: float = 1.0,
     dt_end: int = 999,
     collect: Tuple[str, ...] = (),
+    unroll: int = 1,
 ) -> Tuple[jnp.ndarray, dict]:
     """Run the full trajectory in one scan.
 
@@ -168,5 +169,7 @@ def sample_chain(
                 ys[k] = extras[k]
         return x_next, ys
 
-    x_final, ys = jax.lax.scan(body, x_init, arrays)
+    # unroll > 1 lets XLA fuse a step's elementwise DDIM tail into the next
+    # step's prologue (compile time rises with the factor)
+    x_final, ys = jax.lax.scan(body, x_init, arrays, unroll=unroll)
     return x_final, ys

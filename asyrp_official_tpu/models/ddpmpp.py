@@ -291,9 +291,17 @@ def apply(
         return eps, None, None, middle_h
 
     h2, delta_h = apply_edit(edit, h, temb)
-    stacked = jnp.concatenate([h, h2], axis=0)
-    skips = [jnp.concatenate([s, s], axis=0) for s in hs]
-    temb2 = jnp.concatenate([temb, temb], axis=0)
-    out = _decode(params, cfg, stacked, skips, temb2)
-    eps, eps_mod = jnp.split(out, 2, axis=0)
+    if x.shape[0] == 1:
+        # batch-1 serving: two batch-1 decodes beat one batch-2 stacked
+        # decode — batch 2 is the v5e's least efficient conv batch
+        # (16.3 ms/eval vs 13.8 at batch 1, BASELINE.md round 2); identical
+        # math either way (batching is independent per sample)
+        eps = _decode(params, cfg, h, hs, temb)
+        eps_mod = _decode(params, cfg, h2, hs, temb)
+    else:
+        stacked = jnp.concatenate([h, h2], axis=0)
+        skips = [jnp.concatenate([s, s], axis=0) for s in hs]
+        temb2 = jnp.concatenate([temb, temb], axis=0)
+        out = _decode(params, cfg, stacked, skips, temb2)
+        eps, eps_mod = jnp.split(out, 2, axis=0)
     return eps, eps_mod, delta_h, middle_h

@@ -362,11 +362,17 @@ def apply(
         return eps, None, None, middle_h
 
     h2, delta_h = apply_edit(edit, h, emb)
-    stacked = jnp.concatenate([h, h2], axis=0)
-    skips = [jnp.concatenate([s, s], axis=0) for s in hs]
-    emb2 = jnp.concatenate([emb, emb], axis=0)
-    out = _decode(params, plan, cfg, stacked, skips, emb2)
-    eps, eps_mod = jnp.split(out, 2, axis=0)
+    if x.shape[0] == 1:
+        # batch-1 serving: two batch-1 decodes beat one batch-2 stacked
+        # decode (see models/ddpmpp.py apply + BASELINE.md round 2)
+        eps = _decode(params, plan, cfg, h, hs, emb)
+        eps_mod = _decode(params, plan, cfg, h2, hs, emb)
+    else:
+        stacked = jnp.concatenate([h, h2], axis=0)
+        skips = [jnp.concatenate([s, s], axis=0) for s in hs]
+        emb2 = jnp.concatenate([emb, emb], axis=0)
+        out = _decode(params, plan, cfg, stacked, skips, emb2)
+        eps, eps_mod = jnp.split(out, 2, axis=0)
     return eps, eps_mod, delta_h, middle_h
 
 

@@ -210,6 +210,7 @@ def make_invert_edit(
     delta_times=None,
     ignore_timesteps: bool = False,
     compute_dtype=jnp.float32,
+    unroll: int = 1,
 ) -> Callable:
     """Serving fast path: DDIM inversion + asymmetric edited generation in
     ONE jitted call (one dispatch, one compiled program). Returns
@@ -224,12 +225,13 @@ def make_invert_edit(
     def run(params, edit, x0, rng):
         x_lat, _ = sample_chain(
             _plain_eps(spec, params, compute_dtype), schedule, inv_table, x0,
-            learn_sigma=spec.learn_sigma,
+            learn_sigma=spec.learn_sigma, unroll=unroll,
         )
         x_edit, _ = sample_chain(
             _edited_eps(spec, params, edit, compute_dtype, skip_below_edit=True),
             schedule,
             gen_table, x_lat, rng=rng, learn_sigma=spec.learn_sigma,
+            unroll=unroll,
         )
         return x_edit
 
