@@ -32,10 +32,19 @@ __all__ = [
 
 
 def load_state_dict_numpy(path: str) -> Dict[str, np.ndarray]:
-    """Read a torch checkpoint into {key: float32 numpy} (host-side only)."""
+    """Read a torch checkpoint into {key: float32 numpy} (host-side only).
+
+    Accepts plain pickles, {'state_dict': ...} wrappers, DataParallel
+    'module.'-prefixed keys, and TorchScript archives (the OpenAI CLIP
+    release format — `clip.load` tries jit first, losses/clip_loss.py:35)."""
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+    except RuntimeError:
+        sd = torch.jit.load(path, map_location="cpu").state_dict()
+    if hasattr(sd, "state_dict") and not isinstance(sd, dict):
+        sd = sd.state_dict()  # a ScriptModule/Module pickled whole
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     out = {}

@@ -64,3 +64,21 @@ def test_fullsize_afhq_conversion(reference_path):
     n = sum(x.size for x in jax.tree.leaves(params))
     n_t = sum(v.size for v in sd.values())
     assert n == n_t, (n, n_t)
+
+
+def test_load_state_dict_numpy_jit_archive(tmp_path):
+    """The OpenAI CLIP release ships TorchScript archives — the loader must
+    read them like `clip.load` does (losses/clip_loss.py:35)."""
+    import torch
+
+    from asyrp_official_tpu.compat.torch_convert import load_state_dict_numpy
+
+    class M(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lin = torch.nn.Linear(4, 3)
+
+    p = str(tmp_path / "m.pt")
+    torch.jit.save(torch.jit.script(M()), p)
+    sd = load_state_dict_numpy(p)
+    assert sd["lin.weight"].shape == (3, 4)
