@@ -426,3 +426,46 @@ def prior_bpd(tab: GaussianTables, x0):
     t = jnp.full((x0.shape[0],), tab.num_timesteps - 1, jnp.int32)
     mean, _, logvar = q_mean_variance(tab, x0, t)
     return _mean_flat(normal_kl(mean, logvar, 0.0, 0.0)) / np.log(2.0)
+
+
+# ---------------------------------------------------------------------------
+# timestep respacing (respace.py:63-128) — functional SpacedDiffusion
+# ---------------------------------------------------------------------------
+
+def respaced_tables(
+    betas: np.ndarray, use_timesteps
+) -> Tuple[GaussianTables, np.ndarray]:
+    """Retain a subset of the original process's timesteps: new betas are
+    derived so alphas_cumprod is preserved at the kept steps
+    (respace.py:72-86). Returns (tables over the respaced grid,
+    timestep_map: respaced index → original timestep)."""
+    keep = set(int(t) for t in use_timesteps)
+    acp = np.cumprod(1.0 - np.asarray(betas, np.float64))
+    last = 1.0
+    new_betas, tmap = [], []
+    for i, a in enumerate(acp):
+        if i in keep:
+            new_betas.append(1.0 - a / last)
+            last = a
+            tmap.append(i)
+    return make_tables(np.asarray(new_betas)), np.asarray(tmap, np.int32)
+
+
+def wrap_model_for_respacing(
+    model_fn: Callable,
+    timestep_map: np.ndarray,
+    *,
+    rescale_timesteps: bool = False,
+    original_num_steps: Optional[int] = None,
+) -> Callable:
+    """_WrappedModel (respace.py:116-128): respaced indices → original
+    timesteps before hitting the model."""
+    tmap = jnp.asarray(timestep_map)
+
+    def wrapped(x, t, **kw):
+        new_t = tmap[t]
+        if rescale_timesteps:
+            new_t = new_t.astype(jnp.float32) * (1000.0 / original_num_steps)
+        return model_fn(x, new_t, **kw)
+
+    return wrapped
