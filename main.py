@@ -1,0 +1,10 @@
+#!/usr/bin/env python
+"""Entry-point shim matching the reference invocation `python main.py ...`
+(reference main.py:322-342); all behavior lives in asyrp_official_tpu.cli.
+"""
+import sys
+
+from asyrp_official_tpu.cli.main import main
+
+if __name__ == "__main__":
+    sys.exit(main())
