@@ -30,6 +30,7 @@ __all__ = [
     "predict_xstart_from_eps", "predict_xstart_from_xprev",
     "predict_eps_from_xstart", "p_mean_variance",
     "p_sample", "ddim_sample", "ddim_reverse_sample",
+    "condition_mean", "condition_score",
     "p_sample_loop", "ddim_sample_loop",
     "normal_kl", "discretized_gaussian_log_likelihood",
     "vb_terms_bpd", "training_losses", "prior_bpd",
@@ -226,6 +227,33 @@ def p_mean_variance(
         "mean": mean, "variance": var, "log_variance": logvar,
         "pred_xstart": pred_xstart,
     }
+
+
+# ---------------------------------------------------------------------------
+# classifier guidance (gaussian_diffusion.py:363-400) — pairs with the
+# EncoderUNetModel classifier (models/encoder_unet.py): cond_grad is
+# ∇_x log p(y|x), e.g. jax.grad of the classifier's selected log-prob
+# ---------------------------------------------------------------------------
+
+def condition_mean(p_mean_var: Dict[str, jnp.ndarray], cond_grad):
+    """Sohl-Dickstein-style guidance: shift the posterior mean by
+    variance·∇ log p(y|x)."""
+    return {
+        **p_mean_var,
+        "mean": p_mean_var["mean"] + p_mean_var["variance"] * cond_grad,
+    }
+
+
+def condition_score(tab: GaussianTables, p_mean_var, x, t, cond_grad):
+    """Song et al. guidance: condition the score (via eps), then rebuild
+    pred_xstart and the posterior mean."""
+    ab = _gather(tab.alphas_cumprod, t, x.shape)
+    eps = predict_eps_from_xstart(tab, x, t, p_mean_var["pred_xstart"])
+    eps = eps - jnp.sqrt(1.0 - ab) * cond_grad
+    out = dict(p_mean_var)
+    out["pred_xstart"] = predict_xstart_from_eps(tab, x, t, eps)
+    out["mean"], _, _ = q_posterior_mean_variance(tab, out["pred_xstart"], x, t)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -248,3 +248,36 @@ def test_cosine_schedule_matches(reference_path):
     np.testing.assert_allclose(
         G.cosine_betas(50), get_named_beta_schedule("cosine", 50), rtol=1e-12
     )
+
+
+def test_classifier_guidance_parity(reference_path, data):
+    """condition_mean / condition_score vs the reference, with a smooth
+    cond_fn standing in for grad(log p(y|x))."""
+    import torch
+
+    x0, xt, noise, t = data
+    ref = _ref("eps", "fixedsmall")
+
+    def cond_np(x, tt):
+        return np.sin(x) * 0.2 + np.asarray(tt, np.float32).reshape(-1, 1, 1, 1) / 100.0
+
+    def torch_cond(x, tt, **kw):
+        return torch.from_numpy(np.transpose(
+            cond_np(np.transpose(x.numpy(), (0, 2, 3, 1)), tt.numpy()), (0, 3, 1, 2)))
+
+    pmv_ref = ref.p_mean_variance(
+        _torch_model(3), _nchw(xt), torch.from_numpy(t), clip_denoised=True)
+    pmv = G.p_mean_variance(
+        TAB, jnp.asarray(_model_np(xt, t, 3)), jnp.asarray(xt), jnp.asarray(t),
+        mean_type="eps", var_type="fixedsmall", clip_denoised=True)
+    grad = jnp.asarray(cond_np(xt, t))
+
+    rm = ref.condition_mean(torch_cond, pmv_ref, _nchw(xt), torch.from_numpy(t), model_kwargs={})
+    om = G.condition_mean(pmv, grad)["mean"]
+    np.testing.assert_allclose(np.asarray(om), _nhwc(rm), rtol=1e-5, atol=1e-6)
+
+    rs = ref.condition_score(torch_cond, pmv_ref, _nchw(xt), torch.from_numpy(t), model_kwargs={})
+    os_ = G.condition_score(TAB, pmv, jnp.asarray(xt), jnp.asarray(t), grad)
+    for k in ("mean", "pred_xstart"):
+        np.testing.assert_allclose(
+            np.asarray(os_[k]), _nhwc(rs[k]), rtol=1e-5, atol=1e-6, err_msg=k)
