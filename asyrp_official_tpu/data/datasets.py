@@ -92,6 +92,33 @@ class ImageFolderDataset:
         return _to_pm1(img)
 
 
+class EditReconPairDataset:
+    """Semantic-consistency pair reader (the reference's orphan
+    datasets/sc_loss_dataset.py:10-39): `{path}/edit_image/{name}` paired
+    with `{path}/recon_image/{name}`, both resized; returns
+    (edit, recon) NHWC float arrays in [-1, 1]."""
+
+    def __init__(self, path: str, image_size: int = 256,
+                 resample=Image.BILINEAR):
+        self.edit_dir = os.path.join(path, "edit_image")
+        self.recon_dir = os.path.join(path, "recon_image")
+        self.names = sorted(os.listdir(self.edit_dir))
+        self.image_size = image_size
+        self.resample = resample
+
+    def __len__(self):
+        return len(self.names)
+
+    def __getitem__(self, idx):
+        name = self.names[idx]
+        out = []
+        for d in (self.edit_dir, self.recon_dir):
+            img = Image.open(os.path.join(d, name)).convert("RGB")
+            img = img.resize((self.image_size, self.image_size), self.resample)
+            out.append(_to_pm1(img))
+        return tuple(out)
+
+
 class AFHQDataset:
     def __init__(self, root: str, mode: str = "train", animal_class: str = "dog",
                  image_size: int = 256):

@@ -106,3 +106,27 @@ def test_graft_entry_traces():
     shapes = jax.eval_shape(fn, *args)
     assert shapes[0].shape == (1, 256, 256, 3)
     assert shapes[1].shape == (1, 256, 256, 3)
+
+
+def test_edit_recon_pair_dataset(tmp_path):
+    """sc_loss_dataset.py analog: paired edit/recon images by file name."""
+    import numpy as np
+    from PIL import Image
+
+    from asyrp_official_tpu.data.datasets import EditReconPairDataset
+
+    for sub in ("edit_image", "recon_image"):
+        (tmp_path / sub).mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        for sub, ofs in (("edit_image", 0), ("recon_image", 100)):
+            Image.fromarray(
+                ((rng.rand(20, 20, 3) * 100) + ofs).astype(np.uint8)
+            ).save(tmp_path / sub / f"{i}.png")
+    ds = EditReconPairDataset(str(tmp_path), image_size=16)
+    assert len(ds) == 3
+    e, r = ds[0]
+    assert e.shape == r.shape == (16, 16, 3)
+    assert e.dtype == np.float32 and e.min() >= -1 and e.max() <= 1
+    # recon images were built brighter — the pairing is by name, not mixed
+    assert r.mean() > e.mean()
