@@ -108,11 +108,13 @@ def group_norm(p, x, *, groups=32, eps=1e-6, fp32=False):
     """GroupNorm over the channel (last) axis of an NHWC tensor.
 
     `fp32=True` reproduces GroupNorm32 — statistics and affine in float32,
-    result cast back (models/improved_ddpm/nn.py:17-19).
+    result cast back (models/improved_ddpm/nn.py:17-19). Statistics are
+    computed in float32 regardless: with genuinely-bf16 activations the
+    mean/var reduction loses ~3 decimal digits otherwise, and the upcast is
+    fused into the reduction by XLA (no extra HBM traffic).
     """
     orig_dtype = x.dtype
-    if fp32:
-        x = x.astype(jnp.float32)
+    x = x.astype(jnp.float32)
     b, h, w, c = x.shape
     g = groups
     xg = x.reshape(b, h, w, g, c // g)

@@ -281,7 +281,10 @@ def apply(
     assert x.shape[1] == x.shape[2] == cfg.resolution, (
         f"expected {cfg.resolution}, got {x.shape}"
     )
-    temb = get_temb(params, cfg, t)
+    # the embedding MLP runs in f32 (tiny); cast to the activation dtype so
+    # the per-block temb adds don't promote a bf16 network back to f32 —
+    # without this EVERY conv after the first resblock silently ran f32
+    temb = get_temb(params, cfg, t).astype(x.dtype)
     hs = _encode(params, cfg, x, temb)
     h = _middle(params, hs[-1], temb)
     middle_h = h

@@ -116,6 +116,7 @@ def delta_block_global_init(key, ch: int, temb_ch: int, clip_ch: int = 512, hw: 
 
 def delta_block_global_apply(p, x, temb, clip_direction):
     b, hh, ww, c = x.shape
+    clip_direction = jnp.asarray(clip_direction).astype(x.dtype)
     h = cm.conv2d(p["conv1"], x)
     h = (
         h
@@ -242,6 +243,9 @@ def apply_edit(edit: EditState, h: jnp.ndarray, temb: jnp.ndarray):
         if edit.hs_coeff is not None
         else jnp.ones((len(edit.blocks) + 1,), h.dtype)
     )
+    # coefficients arrive f32; h may be bf16 — without the cast `h *
+    # hs_coeff[0]` promotes h2 to f32 and the whole edited decode runs f32
+    hs_coeff = jnp.asarray(hs_coeff).astype(h.dtype)
     delta_h = None
 
     if edit.mode == "deltablock":

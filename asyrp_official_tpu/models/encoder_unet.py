@@ -148,6 +148,7 @@ def encoder_apply(
     emb = cm.linear(params["time_embed"]["dense0"], emb)
     emb = cm.swish(emb)
     emb = cm.linear(params["time_embed"]["dense1"], emb)
+    emb = emb.astype(x.dtype)  # keep bf16 activations bf16 (see ddpmpp.apply)
 
     spatial = cfg.pool.startswith("spatial")
     results = []

@@ -345,7 +345,9 @@ def apply(
     returns (eps_raw, eps_mod_raw|None, delta_h|None, middle_h). Raw outputs
     keep the 2*C learn-sigma channels — split in core/sampler.py."""
     plan = plan or build_plan(cfg)
-    emb = get_temb(params, cfg, t, y)
+    # cast the f32 embedding to the activation dtype — the per-block emb adds
+    # otherwise promote a bf16 network back to f32 (see models/ddpmpp.py)
+    emb = get_temb(params, cfg, t, y).astype(x.dtype)
 
     h = x
     hs = []

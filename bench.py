@@ -65,7 +65,10 @@ def main():
     @jax.jit
     def fwd(params, x, t):
         eps, *_ = spec.apply(params, x.astype(compute_dtype), t)
-        return eps
+        # cast back to f32 like the engines do: keeps the chained-call input
+        # signature stable (a bf16 return would change the arg dtype on the
+        # second iteration and trigger a recompile inside the timed loop)
+        return eps.astype(jnp.float32)
 
     def force(arr):
         # block_until_ready is unreliable through the axon relay — a
