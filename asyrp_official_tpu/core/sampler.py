@@ -44,7 +44,7 @@ class ScanArrays(NamedTuple):
     step: jnp.ndarray
 
     @staticmethod
-    def from_table(table: StepTable) -> "ScanArrays":
+    def from_table(table: StepTable, step_offset: int = 0) -> "ScanArrays":
         n = table.num_steps
         return ScanArrays(
             t=jnp.asarray(table.t),
@@ -52,7 +52,9 @@ class ScanArrays(NamedTuple):
             eta=jnp.asarray(table.eta),
             use_delta=jnp.asarray(table.use_delta),
             delta_idx=jnp.asarray(table.delta_idx),
-            step=jnp.arange(n, dtype=jnp.int32),
+            # offset keeps per-step rng fold_in indices identical when a
+            # trajectory is split into several scan segments
+            step=jnp.arange(step_offset, step_offset + n, dtype=jnp.int32),
         )
 
 
@@ -69,6 +71,7 @@ def sample_chain(
     dt_end: int = 999,
     collect: Tuple[str, ...] = (),
     unroll: int = 1,
+    step_offset: int = 0,
 ) -> Tuple[jnp.ndarray, dict]:
     """Run the full trajectory in one scan.
 
@@ -86,7 +89,7 @@ def sample_chain(
     Returns:
       (x_final, out) where out holds the collected trajectories.
     """
-    arrays = ScanArrays.from_table(table)
+    arrays = ScanArrays.from_table(table, step_offset)
     acp_ext = jnp.asarray(schedule.alphas_cumprod_ext)
     betas = jnp.asarray(schedule.betas)
     logvar_tab = jnp.asarray(schedule.logvar)

@@ -46,6 +46,28 @@ class StepTable:
     def num_steps(self) -> int:
         return int(self.t.shape[0])
 
+    def slice(self, start: int, stop: int) -> "StepTable":
+        """Contiguous sub-table [start:stop) — used to split a generation
+        into branch-free scan segments (engine splits at the t_edit
+        boundary instead of paying a per-step lax.cond)."""
+        return StepTable(
+            t=self.t[start:stop],
+            t_next=self.t_next[start:stop],
+            eta=self.eta[start:stop],
+            use_delta=self.use_delta[start:stop],
+            delta_idx=self.delta_idx[start:stop],
+        )
+
+    def edit_prefix_len(self) -> Optional[int]:
+        """Length of the leading use_delta == 1 run, or None if the mask is
+        not a contiguous prefix. Generation tables walk t descending, so
+        `t >= t_edit` is always a prefix; delta_times holes can break it."""
+        use = np.asarray(self.use_delta)
+        k = int(use.sum())
+        if np.all(use[:k] == 1.0) and np.all(use[k:] == 0.0):
+            return k
+        return None
+
 
 def _delta_index_map(
     ts: Sequence[int],

@@ -47,7 +47,12 @@ def _edited_eps(
     still pays for the second decoder there (models/ddpm/diffusion.py:540-578).
     With this flag a lax.cond runs the SINGLE decode on those steps instead:
     exact same outputs, ~35% less work per below-t_edit step. Disabled when
-    Δh harvesting needs the per-step delta output."""
+    Δh harvesting needs the per-step delta output.
+
+    NOTE: the cond path is only used when the t_edit gate is NOT a
+    contiguous prefix of the step table; the common case is served
+    branch-free by `_edited_chain`'s two-scan split (measured ~1.7 ms/step
+    of cond overhead on the v5e relay chip, BASELINE.md)."""
 
     def eps_fn(x, t, aux):
         xm = x.astype(compute_dtype)
@@ -89,6 +94,80 @@ def _edited_eps(
         )
 
     return eps_fn
+
+
+def _edited_chain(
+    spec: ModelSpec,
+    schedule: Schedule,
+    table: StepTable,
+    *,
+    compute_dtype,
+    sample_type: str = "ddim",
+    dt_lambda: float = 1.0,
+    dt_end: int = 999,
+    collect: Tuple[str, ...] = (),
+    unroll: int = 1,
+):
+    """Build the edited-generation runner over `table`, choosing the fastest
+    exact strategy:
+
+      * t_edit gate is a contiguous prefix (the standard descending-t case):
+        TWO branch-free scans — dual-decode steps, then plain steps. Below
+        t_edit the gated-off edit yields eps_mod ≡ eps bit-for-bit, so the
+        plain eps function is exact there; rng fold_in indices are offset so
+        the noise sequence matches the monolithic scan.
+      * Δh harvesting requested (collect 'delta_h') or non-contiguous gate
+        (sparse delta_times): single scan, dual decode everywhere / lax.cond.
+
+    Returns fn(params, edit, x, rng) -> (x_out, collected) — call under jit.
+    """
+    skip = "delta_h" not in collect
+    k = table.edit_prefix_len() if skip else None
+    common = dict(
+        sample_type=sample_type, learn_sigma=spec.learn_sigma,
+        dt_lambda=dt_lambda, dt_end=dt_end, collect=collect, unroll=unroll,
+    )
+
+    if k == table.num_steps:
+        k = None  # every step is dual — monolithic without the cond
+        skip = False
+    # k == 0 keeps the split path: it degenerates to plain-only
+
+    if k is None:
+        def run(params, edit, x, rng):
+            return sample_chain(
+                _edited_eps(spec, params, edit, compute_dtype,
+                            skip_below_edit=skip),
+                schedule, table, x, rng=rng, **common,
+            )
+        return run
+
+    head, tail = table.slice(0, k), table.slice(k, table.num_steps)
+
+    def run(params, edit, x, rng):
+        ys_parts = []
+        if head.num_steps:
+            x, ys1 = sample_chain(
+                _edited_eps(spec, params, edit, compute_dtype),
+                schedule, head, x, rng=rng, **common,
+            )
+            ys_parts.append(ys1)
+        if tail.num_steps:
+            x, ys2 = sample_chain(
+                _plain_eps(spec, params, compute_dtype),
+                schedule, tail, x, rng=rng, step_offset=k, **common,
+            )
+            ys_parts.append(ys2)
+        if len(ys_parts) == 2:
+            ys = {
+                key: jnp.concatenate([ys_parts[0][key], ys_parts[1][key]])
+                for key in ys_parts[0]
+            }
+        else:
+            ys = ys_parts[0] if ys_parts else {}
+        return x, ys
+
+    return run
 
 
 def make_invert(
@@ -177,26 +256,14 @@ def make_edit_generate(
         delta_times=delta_times,
         ignore_timesteps=ignore_timesteps,
     )
-    # exact optimization: single decode below t_edit (see _edited_eps) —
-    # unavailable when the per-step delta output is being harvested
-    skip = "delta_h" not in collect
-
-    @jax.jit
-    def run(params, edit, x_lat, rng):
-        return sample_chain(
-            _edited_eps(spec, params, edit, compute_dtype, skip_below_edit=skip),
-            schedule,
-            table,
-            x_lat,
-            rng=rng,
-            sample_type=sample_type,
-            learn_sigma=spec.learn_sigma,
-            dt_lambda=dt_lambda,
-            dt_end=dt_end,
-            collect=collect,
-        )
-
-    return run
+    # exact optimization: below t_edit the edit is gated off, so those steps
+    # run the plain single decode (branch-free two-scan split; _edited_chain)
+    chain = _edited_chain(
+        spec, schedule, table, compute_dtype=compute_dtype,
+        sample_type=sample_type, dt_lambda=dt_lambda, dt_end=dt_end,
+        collect=collect,
+    )
+    return jax.jit(chain)
 
 
 def make_invert_edit(
@@ -220,6 +287,9 @@ def make_invert_edit(
         seq_gen, t_edit=t_edit, t_addnoise=t_addnoise,
         delta_times=delta_times, ignore_timesteps=ignore_timesteps,
     )
+    gen_chain = _edited_chain(
+        spec, schedule, gen_table, compute_dtype=compute_dtype, unroll=unroll,
+    )
 
     @jax.jit
     def run(params, edit, x0, rng):
@@ -227,12 +297,7 @@ def make_invert_edit(
             _plain_eps(spec, params, compute_dtype), schedule, inv_table, x0,
             learn_sigma=spec.learn_sigma, unroll=unroll,
         )
-        x_edit, _ = sample_chain(
-            _edited_eps(spec, params, edit, compute_dtype, skip_below_edit=True),
-            schedule,
-            gen_table, x_lat, rng=rng, learn_sigma=spec.learn_sigma,
-            unroll=unroll,
-        )
+        x_edit, _ = gen_chain(params, edit, x_lat, rng)
         return x_edit
 
     return run
