@@ -125,3 +125,52 @@ def test_pad_to_multiple():
     assert padded.shape == (8, 2) and real == 5
     same, real2 = pmesh.pad_to_multiple(np.ones((8, 2)), 4)
     assert same.shape == (8, 2) and real2 == 8
+
+
+def test_split_chain_matches_cond_path(params):
+    """The branch-free two-scan split at the t_edit boundary must equal the
+    per-step lax.cond strategy (same ops, same rng fold_in indices) — only
+    compilation-level f32 reassociation noise is allowed."""
+    from asyrp_official_tpu.core.sampler import sample_chain
+    from asyrp_official_tpu.core.steptable import generation_table
+
+    block = delta_block_init(jax.random.PRNGKey(1), CFG.bottleneck_ch, CFG.temb_ch)
+    edit = EditState(blocks=(block,), hs_coeff=jnp.array([1.0, 0.2]))
+    x_lat = jnp.asarray(np.random.RandomState(9).randn(2, 32, 32, 3).astype(np.float32))
+    rng = jax.random.PRNGKey(3)
+
+    gen = engine.make_edit_generate(SPEC, SCHED, SEQ, t_edit=516, t_addnoise=300,
+                                    collect=("x",))
+    x_new, ys_new = gen(params, edit, x_lat, rng)
+
+    table = generation_table(SEQ, t_edit=516, t_addnoise=300)
+    assert 0 < table.edit_prefix_len() < table.num_steps  # split actually engaged
+    cond = jax.jit(lambda p, e, x, r: sample_chain(
+        engine._edited_eps(SPEC, p, e, jnp.float32, skip_below_edit=True),
+        SCHED, table, x, rng=r, learn_sigma=False, collect=("x",)))
+    x_ref, ys_ref = cond(params, edit, x_lat, rng)
+
+    scale = float(jnp.abs(x_ref).max()) + 1e-9
+    assert float(jnp.abs(x_new - x_ref).max()) / scale < 1e-5
+    assert ys_new["x"].shape == ys_ref["x"].shape
+    assert float(jnp.abs(ys_new["x"] - ys_ref["x"]).max()) / scale < 1e-5
+
+
+def test_bf16_no_f32_promotion():
+    """Regression: the bf16 compute path must stay bf16 through the whole
+    forward — an f32 temb/hs_coeff operand silently promotes every
+    downstream conv to f32 (measured ~20% end-to-end, BASELINE.md)."""
+    p = SPEC.init(jax.random.PRNGKey(0))
+    block = delta_block_init(jax.random.PRNGKey(1), CFG.bottleneck_ch, CFG.temb_ch)
+    edit = EditState(blocks=(block,), hs_coeff=jnp.array([1.0, 1.0]))
+
+    def f(x, t):
+        eps, eps_mod, _, mh = ddpmpp.apply(p, CFG, x, t, edit=edit)
+        return eps, eps_mod, mh
+
+    out = jax.eval_shape(
+        f,
+        jax.ShapeDtypeStruct((1, 32, 32, 3), jnp.bfloat16),
+        jax.ShapeDtypeStruct((1,), jnp.float32),
+    )
+    assert [o.dtype for o in out] == [jnp.bfloat16] * 3
