@@ -488,6 +488,11 @@ def wrap_model_for_respacing(
 ) -> Callable:
     """_WrappedModel (respace.py:116-128): respaced indices → original
     timesteps before hitting the model."""
+    if rescale_timesteps and original_num_steps is None:
+        raise ValueError(
+            "rescale_timesteps=True requires original_num_steps (the length "
+            "of the UNRESPACED schedule — respace.py:128 divides by it)"
+        )
     tmap = jnp.asarray(timestep_map)
 
     def wrapped(x, t, **kw):

@@ -91,22 +91,34 @@ class LossSecondMomentResampler(_ScheduleSampler):
 
     def update_with_local_losses(self, local_ts, local_losses) -> None:
         """Cross-process variant (resample.py:71-105): every process sees
-        every process's losses so the histories stay identical."""
+        every process's losses so the histories stay identical. Like the
+        reference, batch sizes are gathered first and each batch padded to
+        the max — `process_allgather` needs identical shapes per process,
+        and the last step of an epoch can leave hosts with ragged
+        batches."""
         import jax
 
+        local_ts = np.asarray(local_ts, np.int64).reshape(-1)
+        local_losses = np.asarray(local_losses, np.float64).reshape(-1)
         if jax.process_count() == 1:
-            self.update_with_all_losses(
-                np.asarray(local_ts), np.asarray(local_losses)
-            )
+            self.update_with_all_losses(local_ts, local_losses)
             return
         from jax.experimental import multihost_utils
 
-        ts = multihost_utils.process_allgather(
-            np.asarray(local_ts, np.int64)
+        batch_sizes = multihost_utils.process_allgather(
+            np.asarray([local_ts.shape[0]], np.int32)
         ).reshape(-1)
-        losses = multihost_utils.process_allgather(
-            np.asarray(local_losses, np.float64)
-        ).reshape(-1)
+        pad = int(batch_sizes.max()) - local_ts.shape[0]
+        ts_all = multihost_utils.process_allgather(np.pad(local_ts, (0, pad)))
+        losses_all = multihost_utils.process_allgather(
+            np.pad(local_losses, (0, pad))
+        )
+        ts = np.concatenate(
+            [ts_all[p, : batch_sizes[p]] for p in range(len(batch_sizes))]
+        )
+        losses = np.concatenate(
+            [losses_all[p, : batch_sizes[p]] for p in range(len(batch_sizes))]
+        )
         self.update_with_all_losses(ts, losses)
 
     def _warmed_up(self) -> bool:

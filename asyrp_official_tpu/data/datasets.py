@@ -96,10 +96,13 @@ class EditReconPairDataset:
     """Semantic-consistency pair reader (the reference's orphan
     datasets/sc_loss_dataset.py:10-39): `{path}/edit_image/{name}` paired
     with `{path}/recon_image/{name}`, both resized; returns
-    (edit, recon) NHWC float arrays in [-1, 1]."""
+    (edit, recon) NHWC float arrays in [-1, 1]. The reference calls
+    `img.resize((res, res))` with PIL's default filter — BICUBIC — so
+    that is the default here too (unlike the torchvision-Resize-based
+    datasets above, which default to bilinear)."""
 
     def __init__(self, path: str, image_size: int = 256,
-                 resample=Image.BILINEAR):
+                 resample=Image.BICUBIC):
         self.edit_dir = os.path.join(path, "edit_image")
         self.recon_dir = os.path.join(path, "recon_image")
         self.names = sorted(os.listdir(self.edit_dir))

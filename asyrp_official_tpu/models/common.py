@@ -104,14 +104,15 @@ def swish(x):
     return x * jax.nn.sigmoid(x)
 
 
-def group_norm(p, x, *, groups=32, eps=1e-6, fp32=False):
+def group_norm(p, x, *, groups=32, eps=1e-6):
     """GroupNorm over the channel (last) axis of an NHWC tensor.
 
-    `fp32=True` reproduces GroupNorm32 — statistics and affine in float32,
-    result cast back (models/improved_ddpm/nn.py:17-19). Statistics are
-    computed in float32 regardless: with genuinely-bf16 activations the
-    mean/var reduction loses ~3 decimal digits otherwise, and the upcast is
-    fused into the reduction by XLA (no extra HBM traffic).
+    Statistics and affine always run in float32 with the result cast back
+    to the input dtype — this IS GroupNorm32 (models/improved_ddpm/
+    nn.py:17-19), and for the DDPM++ family (plain f32 GroupNorm, eps 1e-6)
+    it is a no-op change. With genuinely-bf16 activations the mean/var
+    reduction would lose ~3 decimal digits otherwise; the upcast is fused
+    into the reduction by XLA (no extra HBM traffic).
     """
     orig_dtype = x.dtype
     x = x.astype(jnp.float32)
@@ -126,12 +127,12 @@ def group_norm(p, x, *, groups=32, eps=1e-6, fp32=False):
     return x.astype(orig_dtype)
 
 
-def group_norm_1d(p, x, *, groups=32, eps=1e-5, fp32=True):
+def group_norm_1d(p, x, *, groups=32, eps=1e-5):
     """GroupNorm over the channel axis of a [B, T, C] tensor (attention qkv
-    path of the OpenAI UNets operates on flattened spatial maps)."""
+    path of the OpenAI UNets operates on flattened spatial maps). Same
+    always-float32 statistics contract as `group_norm`."""
     orig_dtype = x.dtype
-    if fp32:
-        x = x.astype(jnp.float32)
+    x = x.astype(jnp.float32)
     b, t, c = x.shape
     g = groups
     xg = x.reshape(b, t, g, c // g)

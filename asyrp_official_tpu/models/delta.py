@@ -82,12 +82,12 @@ def delta_block_apply(p, x, temb, *, flavor: str = "ddpm"):
     elif flavor == "openai":
         # GN32 → SiLU → conv1x1 → (+emb) → GN32 → SiLU → conv1x1
         # (improved_ddpm/unet.py:837-853, non-scale-shift path)
-        h = cm.group_norm(p["in_norm"], x, eps=1e-5, fp32=True)
+        h = cm.group_norm(p["in_norm"], x, eps=1e-5)
         h = cm.swish(h)
         h = _mat(p["in_conv"], h)
         if temb is not None:
             h = h + cm.linear(p["emb"], cm.swish(temb))[:, None, None, :]
-        h = cm.group_norm(p["out_norm"], h, eps=1e-5, fp32=True)
+        h = cm.group_norm(p["out_norm"], h, eps=1e-5)
         h = cm.swish(h)
         return _mat(p["out_conv"], h)
     raise ValueError(f"unknown DeltaBlock flavor: {flavor}")

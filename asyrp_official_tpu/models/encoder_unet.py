@@ -167,14 +167,15 @@ def encoder_apply(
         feats = jnp.concatenate(results, axis=-1)
         y = cm.linear(out["lin1"], feats)
         if cfg.pool == "spatial_v2":
-            y = cm.group_norm(out["norm"], y[:, None, None, :], eps=1e-5,
-                              fp32=True)[:, 0, 0, :]
+            y = cm.group_norm(
+                out["norm"], y[:, None, None, :], eps=1e-5
+            )[:, 0, 0, :]
             y = cm.swish(y)
         else:
             y = jnp.maximum(y, 0.0)
         return cm.linear(out["lin2"], y)
 
-    h = cm.group_norm(out["norm"], h, eps=1e-5, fp32=True)
+    h = cm.group_norm(out["norm"], h, eps=1e-5)
     h = cm.swish(h)
     if cfg.pool == "adaptive":
         pooled = h.mean(axis=(1, 2))  # AdaptiveAvgPool2d((1,1))

@@ -233,7 +233,7 @@ def _resblock(p, spec, cfg, x, emb):
     """ResBlock with optional scale-shift norm and parameterless up/down
     (models/improved_ddpm/unet.py:278-298)."""
     updown = spec.get("updown")
-    h = cm.group_norm(p["in_norm"], x, eps=1e-5, fp32=True)
+    h = cm.group_norm(p["in_norm"], x, eps=1e-5)
     h = cm.swish(h)
     if updown == "down":
         h = cm.avg_pool_2x(h)
@@ -246,11 +246,11 @@ def _resblock(p, spec, cfg, x, emb):
     emb_out = cm.linear(p["emb"], cm.swish(emb))
     if cfg.use_scale_shift_norm:
         scale, shift = jnp.split(emb_out, 2, axis=-1)
-        h = cm.group_norm(p["out_norm"], h, eps=1e-5, fp32=True)
+        h = cm.group_norm(p["out_norm"], h, eps=1e-5)
         h = h * (1.0 + scale[:, None, None, :]) + shift[:, None, None, :]
     else:
         h = h + emb_out[:, None, None, :]
-        h = cm.group_norm(p["out_norm"], h, eps=1e-5, fp32=True)
+        h = cm.group_norm(p["out_norm"], h, eps=1e-5)
     h = cm.swish(h)
     h = cm.conv2d(p["out_conv"], h)
 
@@ -268,7 +268,7 @@ def _attnblock(p, spec, cfg, x):
     b, hh, ww, c = x.shape
     heads = spec["heads"]
     flat = x.reshape(b, hh * ww, c)
-    normed = cm.group_norm_1d(p["norm"], flat, eps=1e-5, fp32=True)
+    normed = cm.group_norm_1d(p["norm"], flat, eps=1e-5)
     qkv = cm.linear(p["qkv"], normed)  # [B, T, 3C]
     t = hh * ww
     ch = c // heads
@@ -314,7 +314,7 @@ def _decode(params, plan, cfg, h, hs, emb):
         h = jnp.concatenate([h, hs.pop()], axis=-1)
         for spec, p in zip(block, bparams):
             h = _apply_layer(p, spec, cfg, h, emb)
-    h = cm.group_norm(params["out_norm"], h, eps=1e-5, fp32=True)
+    h = cm.group_norm(params["out_norm"], h, eps=1e-5)
     h = cm.swish(h)
     return cm.conv2d(params["out_conv"], h)
 

@@ -8,51 +8,28 @@ import shutil
 import numpy as np
 import pytest
 import yaml
-from PIL import Image
 
 import jax
 
 from asyrp_official_tpu.cli.main import build_parser, main as cli_main
 from asyrp_official_tpu.runner import AsyrpRunner
-
-TINY_CONFIG = {
-    "data": {"dataset": "CelebA_HQ", "category": "CUSTOM", "image_size": 32,
-             "channels": 3},
-    "model": {"family": "ddpmpp", "in_channels": 3, "out_ch": 3, "ch": 32,
-              "ch_mult": [1, 2], "num_res_blocks": 1, "attn_resolutions": [16],
-              "dropout": 0.0, "var_type": "fixedsmall", "resamp_with_conv": True,
-              "learn_sigma": False},
-    "diffusion": {"beta_schedule": "linear", "beta_start": 0.0001,
-                  "beta_end": 0.02, "num_diffusion_timesteps": 1000},
-}
+from asyrp_official_tpu.utils.tinyws import tiny_base_argv, write_tiny_workspace
 
 
 @pytest.fixture(scope="module")
 def ws(tmp_path_factory):
     ws = tmp_path_factory.mktemp("wsf")
-    (ws / "imgs").mkdir()
-    rng = np.random.RandomState(0)
-    for i in range(4):
-        Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8)).save(
-            ws / "imgs" / f"{i}.png"
-        )
-    with open(ws / "tiny.yml", "w") as f:
-        yaml.safe_dump(TINY_CONFIG, f)
+    write_tiny_workspace(str(ws))
     return ws
 
 
 def _common(ws, exp, extra):
-    return [
-        "--config", str(ws / "tiny.yml"), "--exp", str(ws / "runs" / exp),
-        "--edit_attr", "smiling",
-        "--custom_train_dataset_dir", str(ws / "imgs"),
-        "--custom_test_dataset_dir", str(ws / "imgs"),
-        "--work_dir", str(ws),
-        "--n_inv_step", "4", "--n_train_step", "4", "--n_test_step", "4",
-        "--n_train_img", "2", "--n_test_img", "2", "--bs_train", "2",
-        "--user_defined_t_edit", "500", "--user_defined_t_addnoise", "100",
-        "--lr_training", "0.01", "--n_iter", "1", "--clip_loss_w", "0", "--ni",
-    ] + extra
+    # allow_random_weights deliberately NOT in the base: the loud-failure
+    # tests below assert behavior without it
+    return tiny_base_argv(
+        str(ws / "tiny.yml"), str(ws / "imgs"), str(ws),
+        str(ws / "runs" / exp), allow_random_weights=False, extra=extra,
+    )
 
 
 def test_missing_model_path_is_loud(ws):

@@ -140,3 +140,65 @@ def test_uniform_sampler_and_factory():
     np.testing.assert_allclose(w, 1.0)
     with pytest.raises(NotImplementedError):
         create_named_schedule_sampler("nope", 50)
+
+
+def test_local_losses_sync_pads_ragged_batches(monkeypatch):
+    """Multi-process loss-history sync must survive unequal per-host batch
+    sizes (the reference pads to max_bs, resample.py:82-104;
+    process_allgather requires identical shapes). Simulated with a faked
+    2-process world: each 'process' contributes its own ragged batch and
+    both histories must equal the plain concatenated update."""
+    from jax.experimental import multihost_utils
+
+    batches = {  # ragged: 5 vs 3 samples
+        0: (np.array([1, 2, 3, 4, 5]), np.array([0.1, 0.2, 0.3, 0.4, 0.5])),
+        1: (np.array([6, 7, 8]), np.array([0.6, 0.7, 0.8])),
+    }
+    world = {}
+
+    def fake_allgather(x):
+        # echo what each process WOULD contribute: recorded per call index
+        world.setdefault("calls", []).append(np.asarray(x))
+        i = len(world["calls"]) - 1
+        other = world["other_calls"][i]
+        mine = np.asarray(x)
+        return np.stack([mine, other] if world["rank"] == 0 else [other, mine])
+
+    monkeypatch.setattr("jax.process_count", lambda: 2)
+    monkeypatch.setattr(multihost_utils, "process_allgather", fake_allgather)
+
+    results = []
+    for rank in (0, 1):
+        peer = batches[1 - rank]
+        pad_to = max(len(batches[0][0]), len(batches[1][0]))
+
+        def peer_pad(a):
+            return np.pad(np.asarray(a), (0, pad_to - len(a)))
+
+        world.clear()
+        world["rank"] = rank
+        world["other_calls"] = [
+            np.array([len(peer[0])], np.int32),
+            peer_pad(peer[0]).astype(np.int64),
+            peer_pad(peer[1]).astype(np.float64),
+        ]
+        r = LossSecondMomentResampler(10, history_per_term=4)
+        r.update_with_local_losses(*batches[rank])
+        results.append((r._loss_history.copy(), r._loss_counts.copy()))
+
+    # both 'processes' converge to the same history == the plain update
+    expected = LossSecondMomentResampler(10, history_per_term=4)
+    expected.update_with_all_losses(
+        np.concatenate([batches[0][0], batches[1][0]]),
+        np.concatenate([batches[0][1], batches[1][1]]),
+    )
+    for hist, counts in results:
+        np.testing.assert_allclose(hist, expected._loss_history)
+        np.testing.assert_array_equal(counts, expected._loss_counts)
+
+
+def test_wrap_model_rescale_requires_original_num_steps():
+    with pytest.raises(ValueError, match="original_num_steps"):
+        G.wrap_model_for_respacing(
+            lambda x, t: x, np.arange(10), rescale_timesteps=True
+        )

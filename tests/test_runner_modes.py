@@ -3,50 +3,26 @@ import os
 
 import numpy as np
 import pytest
-import yaml
-from PIL import Image
 
 import jax
 
 from asyrp_official_tpu.cli.main import main as cli_main
-
-TINY_CONFIG = {
-    "data": {"dataset": "CelebA_HQ", "category": "CUSTOM", "image_size": 32,
-             "channels": 3},
-    "model": {"family": "ddpmpp", "in_channels": 3, "out_ch": 3, "ch": 32,
-              "ch_mult": [1, 2], "num_res_blocks": 1, "attn_resolutions": [16],
-              "dropout": 0.0, "var_type": "fixedsmall", "resamp_with_conv": True,
-              "learn_sigma": False},
-    "diffusion": {"beta_schedule": "linear", "beta_start": 0.0001,
-                  "beta_end": 0.02, "num_diffusion_timesteps": 1000},
-}
+from asyrp_official_tpu.utils.tinyws import tiny_base_argv, write_tiny_workspace
 
 
 @pytest.fixture(scope="module")
 def ws(tmp_path_factory):
     ws = tmp_path_factory.mktemp("wsm")
-    (ws / "imgs").mkdir()
-    rng = np.random.RandomState(0)
-    for i in range(4):
-        Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8)).save(
-            ws / "imgs" / f"{i}.png"
-        )
-    with open(ws / "tiny.yml", "w") as f:
-        yaml.safe_dump(TINY_CONFIG, f)
+    write_tiny_workspace(str(ws))
     return ws
 
 
 def _common(ws, exp, extra):
-    return [
-        "--config", str(ws / "tiny.yml"), "--exp", str(ws / "runs" / exp),
-        "--custom_train_dataset_dir", str(ws / "imgs"),
-        "--custom_test_dataset_dir", str(ws / "imgs"),
-        "--work_dir", str(ws),
-        "--n_inv_step", "4", "--n_train_step", "4", "--n_test_step", "4",
-        "--n_train_img", "2", "--n_test_img", "2", "--bs_train", "1",
-        "--user_defined_t_edit", "500", "--user_defined_t_addnoise", "100",
-        "--lr_training", "0.01", "--n_iter", "1", "--clip_loss_w", "0", "--ni", "--allow_random_weights",
-    ] + extra
+    # edit_attr=None: each mode test supplies its own --edit_attr/--src_txts
+    return tiny_base_argv(
+        str(ws / "tiny.yml"), str(ws / "imgs"), str(ws),
+        str(ws / "runs" / exp), bs_train=1, edit_attr=None, extra=extra,
+    )
 
 
 def _make_delta_ckpt(ws, name):
