@@ -13,6 +13,11 @@ With real weights:          python examples/serve_edit.py \
     --model_path pretrained/celeba_hq.ckpt \
     --delta_ckpt checkpoint/smiling_LC_CelebA_HQ_t999_ninv40_ngen40_0.pth \
     --images img1.png img2.png --out out/
+
+Cold-start elimination: `--export serve.bin` serializes the compiled
+program (pipelines/export.py, jax.export) instead of serving;
+`--load serve.bin` serves from the artifact — no tracing, no model code
+on the serving path.
 """
 import argparse
 import os
@@ -37,6 +42,10 @@ def main():
     ap.add_argument("--t_edit", type=int, default=513)
     ap.add_argument("--t_addnoise", type=int, default=167)
     ap.add_argument("--demo", action="store_true")
+    ap.add_argument("--export", metavar="PATH",
+                    help="serialize the serving program to PATH and exit")
+    ap.add_argument("--load", metavar="PATH",
+                    help="serve from an AOT artifact written by --export")
     args = ap.parse_args()
 
     import asyrp_official_tpu as asyrp
@@ -79,10 +88,30 @@ def main():
     seq = asyrp.uniform_seq(args.n_step, 999)
     from asyrp_official_tpu.pipelines import engine
 
-    serve = engine.make_invert_edit(
-        spec, sched, seq, seq, t_edit=args.t_edit, t_addnoise=args.t_addnoise,
-        compute_dtype=jnp.bfloat16,
-    )
+    if args.export:
+        from asyrp_official_tpu.pipelines.export import (
+            export_invert_edit, save_serving,
+        )
+
+        artifact, meta = export_invert_edit(
+            spec, sched, seq, seq, params, edit,
+            t_edit=args.t_edit, t_addnoise=args.t_addnoise,
+            batch=args.batch, image_size=spec.resolution,
+            compute_dtype=jnp.bfloat16,
+            platforms=[jax.default_backend()],
+        )
+        save_serving(args.export, artifact, meta)
+        print(f"exported {len(artifact)} bytes -> {args.export}")
+        return
+    if args.load:
+        from asyrp_official_tpu.pipelines.export import load_serving
+
+        serve = load_serving(args.load)
+    else:
+        serve = engine.make_invert_edit(
+            spec, sched, seq, seq, t_edit=args.t_edit,
+            t_addnoise=args.t_addnoise, compute_dtype=jnp.bfloat16,
+        )
 
     # request batch
     if args.images:
