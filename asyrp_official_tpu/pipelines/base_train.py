@@ -92,4 +92,22 @@ def make_base_train_step(
             metrics["vb"] = terms["vb"].mean()
         return params, ema, opt_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0, 1, 2))
+    jit_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+
+    def _strengthen(x):
+        # Host-built opt_state can carry weak-typed scalar leaves (e.g.
+        # optax.inject_hyperparams with a python float); jit outputs are
+        # strong, so feeding the state back would change the signature and
+        # recompile the full program once more (same trap as
+        # pipelines/train.py — only scalar leaves are ever converted).
+        a = jnp.asarray(x)
+        return a.astype(a.dtype) if a.aval.weak_type else a
+
+    def run(params, ema, opt_state, x0, t, noise, loss_weights):
+        params, ema, opt_state = jax.tree.map(
+            _strengthen, (params, ema, opt_state)
+        )
+        return jit_step(params, ema, opt_state, x0, t, noise, loss_weights)
+
+    run.cache_size = jit_step._cache_size  # regression hook: must stay 1
+    return run

@@ -157,4 +157,23 @@ def make_train_step(
         edit = rebuild(trainable)
         return edit, opt_state, {"loss_per_step": losses, "loss": losses.mean()}
 
-    return jax.jit(train_step)
+    jit_step = jax.jit(train_step)
+
+    def _strengthen(x):
+        # Host-built state carries weak-typed scalar leaves (python
+        # 1.0/0 via optax init / EditState defaults); the jit outputs are
+        # strongly typed, so feeding step outputs back would CHANGE the
+        # call signature and silently recompile the full-size program a
+        # second time (measured 76 s at 113.7M params). Dropping weak_type
+        # up front makes call 1 and call N share one signature; only
+        # scalar leaves are touched, so there is no per-call device work
+        # on the big buffers.
+        a = jnp.asarray(x)
+        return a.astype(a.dtype) if a.aval.weak_type else a
+
+    def run(params, edit, opt_state, x_lat, x0, lr):
+        edit, opt_state = jax.tree.map(_strengthen, (edit, opt_state))
+        return jit_step(params, edit, opt_state, x_lat, x0, jnp.float32(lr))
+
+    run.cache_size = jit_step._cache_size  # regression hook: must stay 1
+    return run

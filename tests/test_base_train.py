@@ -136,3 +136,24 @@ def test_base_training_sharded_on_mesh():
     # grads all-reduced → params remain replicated
     for leaf in jax.tree.leaves(params):
         assert leaf.sharding.is_fully_replicated, leaf.sharding
+
+
+def test_base_step_feedback_does_not_recompile():
+    """Weak-typed opt_state scalars (inject_hyperparams python float) must
+    not change the jit signature when state is fed back (same trap as
+    pipelines/train.py; one silent full-size recompile otherwise)."""
+    rng = np.random.RandomState(0)
+    params = SPEC.init(jax.random.PRNGKey(0))
+    opt = optax.inject_hyperparams(optax.sgd)(learning_rate=2e-4)
+    params, ema, opt_state = init_train_state(params, opt)
+    step = make_base_train_step(_apply, TAB, opt)
+    key = jax.random.PRNGKey(1)
+    for i in range(3):
+        x0 = jnp.asarray(_data(2, rng))
+        key, nk = jax.random.split(key)
+        params, ema, opt_state, _ = step(
+            params, ema, opt_state, x0,
+            jnp.asarray(np.array([1, 5])), jax.random.normal(nk, x0.shape),
+            jnp.ones((2,), jnp.float32),
+        )
+    assert step.cache_size() == 1, step.cache_size()

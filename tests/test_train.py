@@ -74,3 +74,22 @@ def test_steplr():
     assert tr.steplr_lr(1.0, 0, 1, 0.5) == 1.0
     assert tr.steplr_lr(1.0, 1, 1, 0.5) == 0.5
     assert tr.steplr_lr(1.0, 4, 2, 0.1) == pytest.approx(0.01)
+
+
+def test_train_step_feedback_does_not_recompile(setup):
+    """Feeding step outputs back as inputs must hit the SAME compiled
+    program: host-built state has weak-typed scalar leaves while jit
+    outputs are strong, which silently doubled full-size compile time
+    (76 s at 113.7M params) until make_train_step strengthened its
+    inputs. cache_size is the underlying jit cache entry count."""
+    params, seq, x_lat, x0 = setup
+    block = delta_block_init(jax.random.PRNGKey(4), CFG.bottleneck_ch, CFG.temb_ch)
+    edit = EditState(blocks=(block,), hs_coeff=jnp.array([1.0, 1.0]))
+    opt = tr.make_optimizer(0.005, 1, 1.0)
+    opt_state = opt.init(edit.blocks)
+    step = tr.make_train_step(
+        SPEC, SCHED, seq, t_edit=500, optimizer=opt, train_target="blocks"
+    )
+    for _ in range(3):
+        edit, opt_state, _ = step(params, edit, opt_state, x_lat, x0, 0.005)
+    assert step.cache_size() == 1, step.cache_size()
