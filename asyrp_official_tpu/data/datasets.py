@@ -424,9 +424,16 @@ def get_dataset(
         )
     if dataset_type == "CelebA_HQ_Dialog":
         root = dataset_paths["CelebA_HQ_Dialog"]
+        # the reference returns None for the test split (its construction
+        # is commented out, CelebA_HQ_dataset_dialog.py:68-69) — build it
+        # when the val annotation file is present, since this dataset
+        # supports train=False and a None split crashes precompute
+        val_path = os.path.join(root, "val_attr_list.txt")
         return (
             CelebADialogDataset(root, train=True, image_size=image_size),
-            None,
+            CelebADialogDataset(root, train=False, image_size=image_size)
+            if os.path.exists(val_path)
+            else None,
         )
     if dataset_type == "IMAGENET":
         root = dataset_paths["IMAGENET"]

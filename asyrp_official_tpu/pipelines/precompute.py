@@ -25,6 +25,13 @@ from asyrp_official_tpu.pipelines import engine
 __all__ = ["pairs_cache_path", "load_pairs_cache", "precompute_pairs", "random_noise_pairs"]
 
 
+def _default_put(x) -> jax.Array:
+    """Commit a host batch to the default device: uncommitted arrays take
+    a ~50x slower dispatch path through the TPU relay (CLAUDE.md); runner
+    callers override with mesh-aware `put` callbacks."""
+    return jax.device_put(jnp.asarray(x), jax.devices()[0])
+
+
 def pairs_cache_path(
     cache_dir: str, category: str, mode: str, t_0: int, nim: int, n_inv: int,
     *, random_noise: bool = False, class_name: Optional[str] = None,
@@ -130,7 +137,9 @@ def precompute_pairs(
     for ofs in range(0, len(xs), batch_size):
         chunk = np.stack(xs[ofs : ofs + batch_size]).astype(np.float32)
         n_real = chunk.shape[0]
-        x0 = jnp.asarray(chunk) if put is None else put(chunk)
+        # default commit: an explicit device_put — uncommitted arrays
+        # dispatch ~50x slower through the TPU relay (CLAUDE.md)
+        x0 = _default_put(chunk) if put is None else put(chunk)
         x_lat, _ = invert(params, x0)
         x_rec, _ = generate(params, x_lat, jax.random.PRNGKey(0))
         out["x0"].append(chunk)
@@ -177,7 +186,7 @@ def precompute_with_h(
 
     seq = uniform_seq(n_inv_step, t_0)
     run = engine.make_invert_with_h(spec, schedule, seq, compute_dtype=compute_dtype)
-    x_lat, h_traj = run(params, jnp.asarray(x0))
+    x_lat, h_traj = run(params, _default_put(x0))
     out = {
         "x0": np.asarray(x0),
         "x_lat": np.asarray(x_lat),
@@ -231,7 +240,7 @@ def random_noise_pairs(
     recs = []
     for ofs in range(0, n_img, batch_size):
         chunk_np = x_lat[ofs : ofs + batch_size]
-        chunk = jnp.asarray(chunk_np) if put is None else put(chunk_np)
+        chunk = _default_put(chunk_np) if put is None else put(chunk_np)
         x, _ = generate(params, chunk, jax.random.PRNGKey(ofs))
         recs.append(np.asarray(x)[: chunk_np.shape[0]])
     x_rec = np.concatenate(recs)

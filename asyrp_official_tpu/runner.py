@@ -194,9 +194,12 @@ class AsyrpRunner:
         return self._put(x), n
 
     def _replicate(self, tree):
-        """Replicate params / Δ state / optimizer state onto the mesh."""
+        """Replicate params / Δ state / optimizer state onto the mesh;
+        single-device, COMMIT to the device — uncommitted arrays dispatch
+        ~50x slower through the relay (CLAUDE.md), and converted torch
+        weights arrive as plain numpy."""
         if self.mesh is None:
-            return tree
+            return jax.device_put(tree, jax.devices()[0])
         return pmesh.replicate(self.mesh, tree)
 
     # ------------------------------------------------------------------
@@ -533,7 +536,13 @@ class AsyrpRunner:
                         )
                 else:
                     loaded = delta_ckpt.load_delta_checkpoint(save_name)
-                    edit = self._apply_loaded_delta(edit, loaded, seq_train)
+                    edit, extras = self._apply_loaded_delta(
+                        edit, loaded, seq_train
+                    )
+                    if extras:
+                        extra_blocks = extras
+                edit = self._replicate(edit)
+                opt_state = self._replicate(opt_state)
                 continue
             lr = tr.steplr_lr(a.lr_training, it_out, a.scheduler_step_size, a.sch_gamma)
             losses = []
@@ -602,15 +611,22 @@ class AsyrpRunner:
             )
         log.info("saved %s", path)
 
-    def _apply_loaded_delta(self, edit: EditState, loaded, seq_train) -> EditState:
+    def _apply_loaded_delta(self, edit: EditState, loaded, seq_train):
+        """Returns (edit, extra_blocks). `_save_delta` stores the trained
+        block(s) first and the untrained get_h_num>1 extras after them
+        (the reference trains index 0 only, diffusion_latent.py:314), so
+        only the first len(edit.blocks) may re-enter the train state —
+        opt_state and hs_coeff were built for exactly those."""
         if "blocks" in loaded:
-            return dataclasses.replace(
-                edit, blocks=tuple(jax.tree.map(jnp.asarray, b) for b in loaded["blocks"])
+            lb = tuple(
+                jax.tree.map(jnp.asarray, b) for b in loaded["blocks"]
             )
+            k = len(edit.blocks)
+            return dataclasses.replace(edit, blocks=lb[:k]), lb[k:]
         rows_dict = loaded["delta_rows"]
         keys = [0] if self.args.ignore_timesteps else list(seq_train)
         rows = jnp.asarray(np.stack([rows_dict[t] for t in keys]))
-        return dataclasses.replace(edit, delta_rows=rows)
+        return dataclasses.replace(edit, delta_rows=rows), ()
 
     # ------------------------------------------------------------------
     # generation / grids (save_image, diffusion_latent.py:445-544)
@@ -831,6 +847,10 @@ class AsyrpRunner:
                 edit = self._edit_from_rows(remapped, hs_coeff, seq_test)
         elif not mean_dh_pending:
             raise FileNotFoundError(f"checkpoint({save_names[0]}) does not exist!")
+        if edit is not None:
+            # commit/replicate the loaded Δ once, like the training and
+            # fidelity paths — not per save_grid dispatch
+            edit = self._replicate(edit)
 
         if mean_dh_pending and edit is None:
             # harvest mode: run with fresh DeltaBlocks? reference requires a
@@ -908,7 +928,9 @@ class AsyrpRunner:
                         # 'now we use mean of delta_hs'
                         # (diffusion_latent.py:829-836): remaining images are
                         # edited with the harvested mean rows
-                        edit = self._edit_from_rows(rows, hs_coeff, seq_test)
+                        edit = self._replicate(
+                            self._edit_from_rows(rows, hs_coeff, seq_test)
+                        )
         return edit
 
     # ------------------------------------------------------------------
@@ -1061,7 +1083,7 @@ class AsyrpRunner:
     # built here from its surviving hooks, see pipelines/style_transfer.py)
     # ------------------------------------------------------------------
     def run_style_transfer(self):
-        from asyrp_official_tpu.pipelines.style_transfer import style_transfer
+        from asyrp_official_tpu.pipelines.style_transfer import make_style_transfer
 
         a = self.args
         self.set_interval()
@@ -1071,23 +1093,34 @@ class AsyrpRunner:
         styles = data.ImageFolderDataset(a.style_dir, d["image_size"])
         out_dir = self._dir(getattr(a, "save_dir", None) or os.path.join(a.exp, "style"))
         n_gen = getattr(a, "n_gen_step", 0) or a.n_test_step
+        # ONE compilation of each engine for the whole C×S sweep, and each
+        # content/style inverted exactly once (C+S inversions, C·S
+        # generations); batch-1 images go through _put_padded so --dp
+        # batch sharding survives (outputs sliced back to the real row)
+        st = make_style_transfer(
+            self.spec, self.schedule,
+            n_inv_step=a.n_inv_step, n_gen_step=n_gen, t_0=a.t_0,
+            t_edit=self.t_edit,
+            hs_coeff=getattr(a, "hs_coeff", 0.9),
+            use_mask=getattr(a, "use_mask", False),
+            dt_lambda=a.dt_lambda, dt_end=a.dt_end,
+            content_replace_step=getattr(a, "content_replace_step", 0),
+            compute_dtype=self.compute_dtype,
+        )
+        content_lats = []
         for ci in range(len(contents)):
-            for si in range(len(styles)):
-                stylized, _ = style_transfer(
-                    self.spec, params, self.schedule,
-                    self._put(contents[ci][None]),
-                    self._put(styles[si][None]),
-                    n_inv_step=a.n_inv_step, n_gen_step=n_gen, t_0=a.t_0,
-                    t_edit=self.t_edit,
-                    hs_coeff=getattr(a, "hs_coeff", 0.9),
-                    use_mask=getattr(a, "use_mask", False),
-                    dt_lambda=a.dt_lambda, dt_end=a.dt_end,
-                    content_replace_step=getattr(a, "content_replace_step", 0),
+            xb, _ = self._put_padded(contents[ci][None])
+            content_lats.append(st.invert_content(params, xb))
+        for si in range(len(styles)):
+            sb, _ = self._put_padded(styles[si][None])
+            h_traj = st.invert_style(params, sb)
+            for ci in range(len(contents)):
+                stylized = st.generate(
+                    params, content_lats[ci], h_traj,
                     rng=jax.random.PRNGKey(a.seed),
-                    compute_dtype=self.compute_dtype,
                 )
                 save_image(
-                    np.asarray(stylized),
+                    np.asarray(stylized[0]),
                     os.path.join(out_dir, f"content{ci}_style{si}.png"),
                     pm1=True,
                 )

@@ -113,3 +113,34 @@ def test_dp_divisibility_is_checked(ws):
     config = yaml.safe_load(open(ws / "tiny.yml"))
     with pytest.raises(ValueError, match="must divide"):
         AsyrpRunner(args, config, work_dir=str(ws / "bad"))
+
+
+def test_style_transfer_under_dp(ws, tmp_path):
+    """Style transfer feeds batch-1 images; under --dp they must go
+    through the padded put (raw shard_batch on batch 1 cannot split over
+    the mesh and crashed). Output must match single-device."""
+    for sub in ("contents", "styles"):
+        d = ws / sub
+        if not d.exists():
+            d.mkdir()
+            rng = np.random.RandomState(7)
+            for i in range(2):
+                Image.fromarray(
+                    (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+                ).save(d / f"{i}.png")
+    outs = {}
+    for tag, extra in (("sd", []), ("dp", ["--dp", "2"])):
+        rc = cli_main(_args(ws, f"style_{tag}", [
+            "--diff_style",
+            "--content_dir", str(ws / "contents"),
+            "--style_dir", str(ws / "styles"),
+            "--save_dir", str(ws / f"styled_{tag}"),
+        ] + extra))
+        assert rc == 0
+        outs[tag] = sorted(os.listdir(ws / f"styled_{tag}"))
+        assert "content0_style0.png" in outs[tag]
+    assert outs["sd"] == outs["dp"]
+    for name in outs["sd"]:
+        ia = np.asarray(Image.open(ws / "styled_sd" / name), np.int16)
+        ib = np.asarray(Image.open(ws / "styled_dp" / name), np.int16)
+        assert np.abs(ia - ib).max() <= 2, name

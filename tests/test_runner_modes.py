@@ -72,3 +72,28 @@ def test_mean_of_delta_hs(ws):
     # second invocation consumes the saved global direction
     rc = cli_main(args)
     assert rc == 0
+
+
+def test_resume_from_pth_with_get_h_num_2(ws):
+    """.pth-only resume with get_h_num=2 must keep the trained/extra block
+    split: _save_delta writes [trained]+extras, and restoring ALL of them
+    into the train state used to desync opt_state/hs_coeff (crash on the
+    next trained iter) and re-append extras on save."""
+    from asyrp_official_tpu.compat.delta_ckpt import load_delta_checkpoint
+
+    base = ["--run_train", "--train_delta_block", "--edit_attr", "smiling",
+            "--get_h_num", "2", "--do_test", "0"]
+    rc = cli_main(_common(ws, "resume2", base + ["--n_iter", "1"]))
+    assert rc == 0
+    ck0 = ws / "checkpoint" / "resume2_LC_CUSTOM_t999_ninv4_ngen4_0.pth"
+    assert ck0.exists()
+    import shutil
+
+    shutil.rmtree(str(ck0) + ".orbax", ignore_errors=True)  # force .pth path
+    rc = cli_main(_common(ws, "resume2", base + ["--n_iter", "2"]))
+    assert rc == 0
+    for it in (0, 1):
+        loaded = load_delta_checkpoint(
+            ws / "checkpoint" / f"resume2_LC_CUSTOM_t999_ninv4_ngen4_{it}.pth"
+        )
+        assert len(loaded["blocks"]) == 2, (it, len(loaded["blocks"]))
