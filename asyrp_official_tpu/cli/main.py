@@ -40,6 +40,12 @@ VESTIGIAL_FLAGS = [
     "style_transfer_use_mean", "analysis", "run_optimize_delta_h",
     "run_test_pretrained_self_delta_h", "test_pretrained_at_once",
     "align_face", "hybrid_noise", "deterministic_inv",
+    # incomplete reference research modes: parsed, checked in
+    # run_training/save_image, but their image_space_noise_dict is
+    # never populated by any reference path (diffusion_latent.py:451)
+    "image_space_noise_optim", "image_space_noise_optim_delta_block",
+    "image_space_noise_optim_origin", "DirectionalClipSmilarity",
+    "Three_compare_addnoise", "get_SNR",
 ]
 
 
@@ -66,7 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
     add("--comment", type=str, default="")
     add("--seed", type=int, default=1234)
     add("--verbose", type=str, default="info")
-    add("--ni", action="store_true", help="no interaction (overwrite folders)")
+    # reference: type=int default=1 (main.py:149); nargs="?" keeps the
+    # bare `--ni` form working alongside the reference's `--ni 1`
+    add("--ni", nargs="?", const=1, default=1, type=int,
+        help="no interaction (overwrite folders)")
     add("--sh_file_name", type=str, default="")
     add("--bf16", action="store_true", help="run the UNet in bfloat16")
     add("--work_dir", type=str, default=".")
@@ -124,8 +133,8 @@ def build_parser() -> argparse.ArgumentParser:
     add("--clr_loss_w", type=float, default=0.0)
     add("--use_id_loss", action="store_true")
     add("--clip_model_name", type=str, default="ViT-B/16")
-    add("--save_train_image", action="store_true")
-    add("--save_train_image_step", type=int, default=8)
+    add("--save_train_image", nargs="?", const=1, default=1, type=int)
+    add("--save_train_image_step", type=int, default=4)
     add("--save_train_image_iter", type=int, default=1)
     add("--save_checkpoint_only_last_iter", action="store_true")
     add("--save_checkpoint_during_iter", action="store_true")
@@ -162,7 +171,7 @@ def build_parser() -> argparse.ArgumentParser:
     add("--num_mean_of_delta_hs", type=int, default=0)
     add("--multiple_attr", type=str, default=None)
     add("--multiple_hs_coeff", type=str, default=None)
-    add("--masked_h", action="store_true")
+    add("--masked_h", nargs="?", const=True, type=str, default="")
     add("--use_mask", action="store_true")
     add("--manual_checkpoint_name", type=str, default=None)
     add("--choose_checkpoint_num", type=int, default=None)
@@ -198,6 +207,20 @@ def build_parser() -> argparse.ArgumentParser:
     add("--clip_ckpt", type=str, default=None, help="OpenAI CLIP .pt/.pth")
     add("--ir_se50_ckpt", type=str, default=None, help="ArcFace weights")
     add("--lpips_ckpt", type=str, default=None, help="AlexNet+lin weights")
+
+    # remaining reference flags: value-typed vestigial (reference defaults)
+    add("--save_to_folder", type=str, default=None,
+        help="override the training_images folder (main.py:292-293)")
+    add("--rambda", type=float, default=1.0, help=argparse.SUPPRESS)
+    add("--LPIPS_addnoise_th", type=float, default=0.1, help=argparse.SUPPRESS)
+    add("--n_test_pretrained_inv_step", type=int, default=40, help=argparse.SUPPRESS)
+    add("--lr_clip_finetune", type=float, default=2e-6, help=argparse.SUPPRESS)
+    add("--lr_latent_clr", type=float, default=2e-6, help=argparse.SUPPRESS)
+    add("--lr_clip_lat_opt", type=float, default=2e-2, help=argparse.SUPPRESS)
+    add("--var", type=int, default=100, help=argparse.SUPPRESS)
+    add("--maintain", type=int, default=400, help=argparse.SUPPRESS)
+    add("--maintain_min", type=int, default=50, help=argparse.SUPPRESS)
+    add("--interpolation_step", type=int, default=4, help=argparse.SUPPRESS)
 
     # vestigial (accepted, no dispatch — reference parity)
     for flag in VESTIGIAL_FLAGS:
@@ -247,10 +270,11 @@ def build_contexts(args):
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
-    if args.list_vestigial:
+    argv = sys.argv[1:] if argv is None else list(argv)
+    if "--list_vestigial" in argv:  # usable without the required --config
         print("\n".join(VESTIGIAL_FLAGS))
         return 0
+    args = build_parser().parse_args(argv)
 
     config = load_config(args.config)
 

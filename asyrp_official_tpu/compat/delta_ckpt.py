@@ -59,6 +59,12 @@ def load_delta_checkpoint(path: str) -> Dict[str, Any]:
             ki = int(k)
         except (TypeError, ValueError):
             continue
+        if v is None:
+            # --ignore_timesteps train_delta_h ckpts keep None holes for
+            # every non-zero timestep (the reference saves the whole
+            # delta_h_dict incl. its None inits, diffusion_latent.py:
+            # 172-174,188-189,398-400)
+            continue
         if isinstance(v, dict):  # DeltaBlock state_dict
             sd = {kk: vv.detach().cpu().numpy() for kk, vv in v.items()}
             blocks[ki] = convert_delta_block(sd)

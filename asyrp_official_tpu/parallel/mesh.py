@@ -28,9 +28,17 @@ DATA_AXIS = "data"
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """n_devices=None (or -1, the CLI's 'all') uses every device; asking
+    for more devices than exist is an ERROR, not a silent truncation —
+    callers size batches against the requested count."""
     if devices is None:
         devices = jax.devices()
-    if n_devices is not None:
+    if n_devices is not None and n_devices != -1:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are available"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 

@@ -83,6 +83,14 @@ class PackedSpec:
         self.delta_flavor = spec.delta_flavor
 
     def pack(self, params):
+        leaves = jax.tree.leaves(params)
+        if all(isinstance(x, np.ndarray) for x in leaves):
+            # host tree (the normal case: converted torch weights) — one
+            # host-side concat + ONE committed transfer instead of ~450
+            # per-leaf device ops (the cost this class exists to avoid)
+            return jax.device_put(
+                jnp.asarray(self.packer.pack_numpy(params)), jax.devices()[0]
+            )
         return self.packer.pack(params)
 
     def apply(self, flat, x, t, edit=None, **kw):

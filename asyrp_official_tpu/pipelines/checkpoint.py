@@ -17,6 +17,10 @@ import numpy as np
 
 __all__ = ["save_train_state", "load_train_state"]
 
+# sentinel subtree standing in for an absent `extra` — orbax restore
+# structure must not depend on save-time arguments
+_EMPTY_EXTRA = {"_none": np.zeros((), np.float32)}
+
 
 def _ocp():
     import orbax.checkpoint as ocp
@@ -33,9 +37,10 @@ def save_train_state(
         "trainable": trainable,
         "opt_state": opt_state,
         "meta": {"it_out": np.asarray(it_out)},
+        # always present: a conditional key would make the restore
+        # structure depend on save-time arguments the loader can't know
+        "extra": extra if extra else _EMPTY_EXTRA,
     }
-    if extra:
-        state["extra"] = extra
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
@@ -43,11 +48,18 @@ def save_train_state(
 
 def load_train_state(path: str, *, like: Dict[str, Any]) -> Optional[Dict[str, Any]]:
     """`like` is a pytree of the same structure (e.g. the freshly-initialized
-    state) used to restore concrete array types. Returns None if absent."""
+    state) used to restore concrete array types; callers who saved a real
+    `extra` must include a matching like["extra"]. Returns None if absent."""
     path = os.path.abspath(path)
     if not os.path.exists(path):
         return None
     ocp = _ocp()
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path, like)
-    return restored
+    like2 = dict(like)
+    if "extra" not in like2:
+        like2["extra"] = _EMPTY_EXTRA
+    try:
+        return ckptr.restore(path, like2)
+    except Exception:
+        # sidecars written before 'extra' became unconditional
+        return ckptr.restore(path, like)

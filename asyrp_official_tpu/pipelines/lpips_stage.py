@@ -97,7 +97,19 @@ def compute_lpips_distance(
         buf.append(item[0] if isinstance(item, tuple) else item)
         if len(buf) == batch_size or i == min(n_img, len(dataset)) - 1:
             chunk = np.stack(buf).astype(np.float32)
-            x0 = jnp.asarray(chunk) if put is None else put(chunk)
+            # pad the final partial batch to batch_size: a changed batch
+            # axis would retrace + recompile the whole (up to 1000-step)
+            # scanned chain — minutes on the relay TPU for zero benefit
+            if chunk.shape[0] < batch_size:
+                pad = batch_size - chunk.shape[0]
+                chunk_in = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
+            else:
+                chunk_in = chunk
+            x0 = (
+                jax.device_put(jnp.asarray(chunk_in), jax.devices()[0])
+                if put is None
+                else put(chunk_in)
+            )
             d_x, d_x0t = chain(params, x0)
             # slice off any mesh padding `put` added ([S, B] outputs)
             all_x.append(np.asarray(d_x)[:, : chunk.shape[0]])

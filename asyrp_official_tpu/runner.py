@@ -570,7 +570,9 @@ class AsyrpRunner:
                     self.save_grid(
                         params, edit, np.asarray(xb), seq_test,
                         file_name=f"train_{ofs}_{it_out}",
-                        folder=self._dir(os.path.join(a.exp, "training_images")),
+                        # --save_to_folder overrides the folder (main.py:292-293)
+                        folder=getattr(a, "save_to_folder", None)
+                        or self._dir(os.path.join(a.exp, "training_images")),
                         x0=np.asarray(x0b),
                     )
             log.info("iter %d: mean loss %.4f (lr %.4g)", it_out, float(np.mean(losses or [0.0])), lr)

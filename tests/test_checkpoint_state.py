@@ -27,3 +27,30 @@ def test_roundtrip(tmp_path):
 
 def test_missing_returns_none(tmp_path):
     assert load_train_state(str(tmp_path / "nope"), like={}) is None
+
+
+def test_roundtrip_with_extra(tmp_path):
+    """'extra' must be restorable — its presence is now unconditional in
+    the saved structure (a conditional key made every extra-carrying
+    sidecar unrestorable with the documented `like`)."""
+    trainable = ({"w": jnp.ones((2, 2))},)
+    opt = optax.sgd(0.1)
+    opt_state = opt.init(trainable)
+    p = str(tmp_path / "state_x.orbax")
+    extra = {"ema": jnp.full((2,), 3.0)}
+    save_train_state(p, trainable=trainable, opt_state=opt_state, it_out=1,
+                     extra=extra)
+    restored = load_train_state(
+        p, like={"trainable": trainable, "opt_state": opt_state,
+                 "meta": {"it_out": np.asarray(0)}, "extra": extra},
+    )
+    np.testing.assert_array_equal(np.asarray(restored["extra"]["ema"]),
+                                  [3.0, 3.0])
+    # and a no-extra save restores with a like that doesn't mention it
+    p2 = str(tmp_path / "state_y.orbax")
+    save_train_state(p2, trainable=trainable, opt_state=opt_state, it_out=2)
+    restored = load_train_state(
+        p2, like={"trainable": trainable, "opt_state": opt_state,
+                  "meta": {"it_out": np.asarray(0)}},
+    )
+    assert int(restored["meta"]["it_out"]) == 2

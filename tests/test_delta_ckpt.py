@@ -148,3 +148,23 @@ def test_npz_roundtrip(tmp_path):
     back = load_delta_npz(p)
     np.testing.assert_allclose(back["blocks"][0]["conv1"]["w"], blocks[0]["conv1"]["w"])
     np.testing.assert_allclose(back["delta_rows"][100], rows[100])
+
+
+def test_load_delta_h_ckpt_with_none_holes(tmp_path):
+    """--ignore_timesteps train_delta_h checkpoints keep None values for
+    every non-zero timestep (the reference saves the whole delta_h_dict
+    incl. its None inits, diffusion_latent.py:172-174,188-189,398-400);
+    loading must skip the holes, not crash."""
+    import torch
+
+    from asyrp_official_tpu.compat.delta_ckpt import load_delta_checkpoint
+
+    p = str(tmp_path / "holes.pth")
+    torch.save(
+        {"0": torch.ones(8, 4, 4), "200": None, "400": None,
+         "optimizer": {}, "scheduler": {}},
+        p,
+    )
+    loaded = load_delta_checkpoint(p)
+    assert list(loaded["delta_rows"]) == [0]
+    assert loaded["delta_rows"][0].shape == (4, 4, 8)  # NHWC transpose

@@ -24,3 +24,15 @@ def test_shard_work_partition():
 def test_combine_delta_means_single():
     s = np.ones((2, 2)) * 6
     np.testing.assert_allclose(combine_delta_means(s, 3), 2.0)
+
+
+def test_make_mesh_validates_device_count():
+    import jax
+    import pytest
+
+    from asyrp_official_tpu.parallel import mesh as pmesh
+
+    n = len(jax.devices())
+    with pytest.raises(ValueError, match="available"):
+        pmesh.make_mesh(n + 1)
+    assert pmesh.make_mesh(-1).devices.size == n  # -1 == all

@@ -47,3 +47,16 @@ def test_packed_spec_through_engine():
     ref, _ = engine.make_invert(SPEC, sched, seq)(params, x0)
     got, _ = engine.make_invert(packed, sched, seq)(flat, x0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_packed_spec_pack_numpy_tree():
+    """A host (numpy) tree — the converted-torch-weights case — must take
+    the single-transfer host path and equal the per-leaf device pack."""
+    params = SPEC.init(jax.random.PRNGKey(0))
+    np_params = jax.tree.map(np.asarray, params)
+    ps = PackedSpec(SPEC, params)
+    flat_host = ps.pack(np_params)
+    flat_dev = ps.packer.pack(params)
+    np.testing.assert_array_equal(np.asarray(flat_host), np.asarray(flat_dev))
+    # committed to a concrete device (the relay dispatch requirement)
+    assert len(flat_host.devices()) == 1

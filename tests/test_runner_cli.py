@@ -30,6 +30,33 @@ def test_parser_accepts_reference_vestigial_flags():
     assert args.style_transfer
 
 
+def test_parser_accepts_reference_arities():
+    """Every flag keeps the reference parser's arity: value-typed flags in
+    the reference (--ni type=int main.py:149, --save_train_image :175,
+    --masked_h :77) must consume a value, and every reference-only flag
+    (--get_SNR, --rambda, --save_to_folder, --var, ...) must parse."""
+    p = build_parser()
+    args = p.parse_args([
+        "--config", "celeba.yml",
+        "--ni", "1", "--save_train_image", "0", "--masked_h", "mask.png",
+        "--get_SNR", "--rambda", "2.0", "--save_to_folder", "/tmp/x",
+        "--image_space_noise_optim", "--var", "7", "--maintain", "300",
+        "--LPIPS_addnoise_th", "0.2", "--n_test_pretrained_inv_step", "20",
+        "--lr_clip_finetune", "1e-5", "--interpolation_step", "2",
+    ])
+    assert args.ni == 1 and args.save_train_image == 0
+    assert args.masked_h == "mask.png" and args.rambda == 2.0
+    # bare forms keep working too (our scripts/tests use them)
+    args = p.parse_args(["--config", "celeba.yml", "--ni",
+                         "--save_train_image", "--masked_h"])
+    assert args.ni == 1 and args.save_train_image == 1
+    assert args.masked_h is True
+
+
+def test_list_vestigial_standalone():
+    assert cli_main(["--list_vestigial"]) == 0
+
+
 def test_cli_train_then_test(workspace):
     ws = workspace
     rc = cli_main(_common(ws, ["--run_train", "--train_delta_block", "--do_test", "0"]))
