@@ -110,10 +110,17 @@ def ddpm_step(
       noise: [B, ...] standard normal sample.
     """
     nd = x.ndim
-    bt = bvec(jnp.asarray(bt, x.dtype), nd)
-    at = bvec(jnp.asarray(at, x.dtype), nd)
-    logvar = bvec(jnp.asarray(logvar, x.dtype), nd)
+    # same f32-coefficient rule as ddim_step: alpha-bar near 1 collapses
+    # to exactly 1.0 in a bf16 carry, making weight = bt/sqrt(1-at) inf
+    out_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    eps = eps.astype(jnp.float32)
+    noise = noise.astype(jnp.float32)
+    bt = bvec(jnp.asarray(bt, jnp.float32), nd)
+    at = bvec(jnp.asarray(at, jnp.float32), nd)
+    logvar = bvec(jnp.asarray(logvar, jnp.float32), nd)
     weight = bt / jnp.sqrt(1.0 - at)
     mean = 1.0 / jnp.sqrt(1.0 - bt) * (x - weight * eps)
     mask = bvec(1.0 - (jnp.asarray(t).reshape(-1) == 0).astype(x.dtype), nd)
-    return mean + mask * jnp.exp(0.5 * logvar) * noise
+    out = mean + mask * jnp.exp(0.5 * logvar) * noise
+    return out.astype(out_dtype)

@@ -103,6 +103,15 @@ def generation_table(
         [1.0 if t < t_addnoise else eta_base for t in ts], np.float32
     )
     use_delta = np.array([1.0 if t >= t_edit else 0.0 for t in ts], np.float32)
+    if delta_times is not None and not ignore_timesteps:
+        # sparse Δ rows: a step with no row gets NO injection. The old
+        # behavior silently fell back to row 0 — the delta trained for a
+        # different timestep (the reference hard-errors on a missing
+        # delta_h_dict key instead, diffusion_latent.py:512-516)
+        have = {int(t) for t in delta_times}
+        use_delta *= np.array(
+            [1.0 if int(t) in have else 0.0 for t in ts], np.float32
+        )
     return StepTable(
         t=np.array(ts, np.int32),
         t_next=np.array(tn, np.int32),

@@ -59,10 +59,6 @@ def _to_pm1(img: Image.Image) -> np.ndarray:
     return arr  # HWC
 
 
-def _resize(img: Image.Image, size: int) -> Image.Image:
-    return img.resize((size, size))
-
-
 class ImageFolderDataset:
     def __init__(
         self,
@@ -241,7 +237,9 @@ class CelebAHQLMDB:
 
 class LSUNLMDB:
     """LSUN LMDB (webp blobs keyed by hash; vendored-torchvision layout,
-    datasets/LSUN_dataset.py). Center-crops to square then resizes."""
+    datasets/LSUN_dataset.py). Preprocessing matches the reference's
+    torchvision pipeline: Resize(short side -> S, BILINEAR) then
+    CenterCrop(S) (LSUN_dataset.py:277-281)."""
 
     def __init__(self, path: str, image_size: int = 256):
         try:
@@ -265,9 +263,14 @@ class LSUNLMDB:
             img_bytes = txn.get(self.keys[idx])
         img = Image.open(BytesIO(img_bytes)).convert("RGB")
         w, h = img.size
-        s = min(w, h)
-        img = img.crop(((w - s) // 2, (h - s) // 2, (w + s) // 2, (h + s) // 2))
-        return _to_pm1(img.resize((self.image_size, self.image_size)))
+        size = self.image_size
+        scale = size / min(w, h)
+        img = img.resize(
+            (round(w * scale), round(h * scale)), Image.BILINEAR
+        )
+        w, h = img.size
+        left, top = (w - size) // 2, (h - size) // 2
+        return _to_pm1(img.crop((left, top, left + size, top + size)))
 
 
 def _read_attr_list(path: str, columns: Sequence[str]):
@@ -316,7 +319,11 @@ class CelebADialogDataset:
 
     def _load(self, fname: str) -> np.ndarray:
         img = Image.open(os.path.join(self.root, fname))
-        return _to_pm1(img.convert("RGB").resize((self.image_size, self.image_size)))
+        # torchvision Resize((S,S)) default filter — BILINEAR
+        # (CelebA_HQ_dataset_dialog.py:56-58)
+        return _to_pm1(img.convert("RGB").resize(
+            (self.image_size, self.image_size), Image.BILINEAR
+        ))
 
     def __getitem__(self, idx):
         return self._load(self.zeros[idx]["file_name"]), self._load(
@@ -347,7 +354,9 @@ class CelebAAttrDataset:
         fname, attrs = self.rows[idx]
         img = Image.open(os.path.join(self.root, fname))
         return (
-            _to_pm1(img.convert("RGB").resize((self.image_size, self.image_size))),
+            _to_pm1(img.convert("RGB").resize(
+                (self.image_size, self.image_size), Image.BILINEAR
+            )),  # torchvision Resize default (CelebA_HQ_dataset_with_attr.py:147)
             attrs,
         )
 
@@ -364,6 +373,7 @@ class Loader:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        self._epoch = 0
 
     def __len__(self):
         n = len(self.dataset)
@@ -372,7 +382,12 @@ class Loader:
     def __iter__(self):
         order = list(range(len(self.dataset)))
         if self.shuffle:
-            random.Random(self.seed).shuffle(order)
+            # fresh permutation per pass — torch DataLoader(shuffle=True)
+            # reshuffles each epoch; a fixed seed would also starve the
+            # drop_last tail of the SAME samples forever. Still
+            # deterministic given (seed, epoch).
+            random.Random(self.seed * 100003 + self._epoch).shuffle(order)
+            self._epoch += 1
         batch = []
         for i in order:
             batch.append(self.dataset[i])

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from asyrp_official_tpu.losses import clip_model, tokenizer as tok
+from asyrp_official_tpu.losses import clip_model, clip_resnet, tokenizer as tok
 from asyrp_official_tpu.utils.assets import clip_templates
 
 __all__ = ["CLIPContext", "clip_preprocess", "directional_loss", "train_clip_term"]
@@ -61,6 +61,20 @@ class CLIPContext:
 
     # -- host-side text features ---------------------------------------
     def tokenize(self, texts) -> jnp.ndarray:
+        if self.bpe is None:
+            # build once and keep: auto-construction re-reads + re-parses
+            # the 49k-merge BPE vocab on EVERY call otherwise (seconds of
+            # redundant host work across a training setup's tokenizations)
+            try:
+                self.bpe = tok.SimpleTokenizer()
+            except FileNotFoundError:
+                import warnings
+
+                warnings.warn(
+                    "CLIP BPE vocab unavailable — falling back to "
+                    "HashTokenizer (test-only semantics)", stacklevel=2
+                )
+                self.bpe = tok.HashTokenizer()
         return jnp.asarray(
             tok.tokenize(texts, self.bpe, self.cfg.context_length)
         )
@@ -94,9 +108,13 @@ class CLIPContext:
 
     # -- image-side (jittable, differentiable) --------------------------
     def encode_images(self, imgs, norm: bool = True):
-        feats = clip_model.encode_image(
-            self.params, self.cfg, clip_preprocess(imgs, self.cfg.image_resolution)
-        )
+        imgs = clip_preprocess(imgs, self.cfg.image_resolution)
+        if isinstance(self.cfg, clip_resnet.RN50Config):
+            # the CNN tower (texture loss) — a CLIPContext built from
+            # clip_resnet params/config works through the same interface
+            feats = clip_resnet.encode_image(self.params, self.cfg, imgs)
+        else:
+            feats = clip_model.encode_image(self.params, self.cfg, imgs)
         if norm:
             feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
         return feats

@@ -89,7 +89,7 @@ def extract_embedding(params, x):
     b = h.shape[0]
     h = h.transpose(0, 3, 1, 2).reshape(b, -1)
     h = h @ params["out_linear"]["w"] + params["out_linear"]["b"]
-    h = _bn(params["out_bn1d"], h)  # affine=False → scale absent
+    h = _bn(params["out_bn1d"], h)
     return h / jnp.linalg.norm(h, axis=1, keepdims=True)
 
 
@@ -178,7 +178,11 @@ def init(key) -> Dict[str, Any]:
         "w": jax.random.normal(nxt(), (512 * 7 * 7, 512)) * (512 * 49) ** -0.5,
         "b": jnp.zeros(512),
     }
-    params["out_bn1d"] = _bn_init(512, affine=False)
+    # the reference IDLoss builds Backbone(...) with the DEFAULT
+    # affine=True (losses/id_loss.py:11) — ir_se50.pth carries learned
+    # output_layer.4 scale/bias (only the unused IR_SE_50 factory sets
+    # affine=False, model_irse.py:111)
+    params["out_bn1d"] = _bn_init(512, affine=True)
     return params
 
 
@@ -222,5 +226,5 @@ def params_from_torch(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
         "w": f32("output_layer.3.weight").T,
         "b": f32("output_layer.3.bias"),
     }
-    params["out_bn1d"] = bn("output_layer.4", affine=False)
+    params["out_bn1d"] = bn("output_layer.4")  # affine present in ir_se50.pth
     return params

@@ -73,3 +73,21 @@ def test_converter_synthetic_sd():
         params, cfg, jnp.zeros((1, 64, 64, 3))
     )
     assert out.shape == (1, 32)
+
+
+def test_texture_loss_through_rn50_context():
+    """texture_loss documents 'MSE between CNN (RN50) encodings' — a
+    CLIPContext built from clip_resnet params/config must work through
+    encode_images (it hardcoded the ViT layout before)."""
+    import numpy as np
+
+    from asyrp_official_tpu.losses import clip_loss as cl
+
+    params = rn.init(jax.random.PRNGKey(0), TINY)
+    ctx = cl.CLIPContext(params=params, cfg=TINY)
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.randn(1, 32, 32, 3), jnp.float32)
+    b = jnp.asarray(rng.randn(1, 32, 32, 3), jnp.float32)
+    loss = cl.texture_loss(ctx, a, b)
+    assert jnp.isfinite(loss) and float(loss) > 0
+    assert float(cl.texture_loss(ctx, a, a)) == 0.0

@@ -154,3 +154,18 @@ def test_lpips_stage_writes_reference_format(img_dir, tmp_path):
     assert os.path.exists(path)
     back = load_lpips_tsv(path)
     assert back == {t: pytest.approx(v) for t, v in curves["x0_t"].items()}
+
+
+def test_loader_reshuffles_each_epoch(img_dir):
+    """shuffle=True must produce a fresh permutation per pass (torch
+    DataLoader semantics): a fixed permutation starves the drop_last tail
+    of the same samples forever."""
+    ds = ImageFolderDataset(str(img_dir), image_size=8)
+    ld = Loader(ds, batch_size=1, shuffle=True, seed=0, drop_last=False)
+
+    def epoch_sig():
+        return tuple(float(b.sum()) for b in ld)
+
+    e1, e2 = epoch_sig(), epoch_sig()
+    assert sorted(e1) == sorted(e2)  # same samples...
+    assert e1 != e2                  # ...different order

@@ -199,3 +199,40 @@ def test_step_vs_torch_reference(reference_path, eta, t, tn):
         rtol=1e-5,
         atol=1e-6,
     )
+
+
+def test_ddpm_step_bf16_carry_is_finite():
+    """bf16 carries collapse alpha-bar ~0.9999 to exactly 1.0 (8-bit
+    mantissa), which made weight = bt/sqrt(1-at) inf before the
+    f32-coefficient rule was applied to the ddpm branch too."""
+    import jax.numpy as jnp
+
+    from asyrp_official_tpu.core.ddim import ddpm_step
+
+    x = jnp.ones((1, 4, 4, 3), jnp.bfloat16)
+    eps = jnp.ones_like(x) * 0.1
+    out = ddpm_step(
+        x, eps,
+        logvar=jnp.array([-5.0]), bt=jnp.array([1e-4]),
+        at=jnp.array([0.99995]), t=jnp.array([3]),
+        noise=jnp.zeros_like(x),
+    )
+    assert out.dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_generation_table_masks_delta_holes():
+    """Sparse delta_times: a step >= t_edit with NO delta row must not
+    inject (use_delta=0) — the old table fell back to row 0, silently
+    applying the delta trained for a different timestep (the reference
+    hard-errors on a missing delta_h_dict key instead)."""
+    from asyrp_official_tpu.core.steptable import generation_table
+
+    seq = [100, 300, 500, 700, 900]
+    tab = generation_table(seq, t_edit=400, delta_times=[900, 500])
+    # descending t: 900, 700, 500, 300, 100
+    assert list(tab.use_delta) == [1.0, 0.0, 1.0, 0.0, 0.0]
+    assert tab.delta_idx[0] == 0 and tab.delta_idx[2] == 1
+    # full coverage unchanged
+    tab2 = generation_table(seq, t_edit=400, delta_times=[900, 700, 500])
+    assert list(tab2.use_delta) == [1.0, 1.0, 1.0, 0.0, 0.0]

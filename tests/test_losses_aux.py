@@ -36,6 +36,12 @@ def test_id_loss_parity_vs_reference(reference_path):
 
     torch.manual_seed(0)
     net = Backbone(input_size=112, num_layers=50, drop_ratio=0.6, mode="ir_se")
+    # make the final BatchNorm1d affine non-trivial: torch inits it to the
+    # identity (weight=1, bias=0), which masked a converter that dropped
+    # these learned parameters — real ir_se50.pth carries them
+    with torch.no_grad():
+        net.output_layer[4].weight.mul_(1.5).add_(0.1)
+        net.output_layer[4].bias.add_(0.2)
     net.eval()
     sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
     params = jax.tree.map(jnp.asarray, idl.params_from_torch(sd))
