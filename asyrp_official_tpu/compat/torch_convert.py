@@ -231,6 +231,49 @@ def _mat1d(sd, prefix):
     return {"w": w[:, :, 0].T, "b": np.asarray(sd[f"{prefix}.bias"], np.float32)}
 
 
+def classify_openai_layer(sd, p):
+    """OpenAI-UNet layer key detection — the ONE place that knows the
+    torch checkpoint layout (shared by convert_openai_unet and
+    models/encoder_unet.encoder_params_from_torch). Returns
+    ('res'|'attn'|'down'|'up'|'conv', converted_params)."""
+    if f"{p}.in_layers.0.weight" in sd:
+        return ("res", _openai_resblock(sd, p))
+    if f"{p}.qkv.weight" in sd:
+        return ("attn", _openai_attn(sd, p))
+    if f"{p}.op.weight" in sd:
+        return ("down", _conv(sd, f"{p}.op"))
+    if f"{p}.conv.weight" in sd:
+        return ("up", _conv(sd, f"{p}.conv"))
+    if f"{p}.weight" in sd:  # bare conv (input_blocks.0.0)
+        return ("conv", _conv(sd, p))
+    raise KeyError(f"unrecognized layer at {p}")
+
+
+def walk_openai_blocks(sd, stem: str, convert_layer):
+    """Group '{stem}.{bi}.{li}.*' keys by block and convert in order."""
+    idx = set()
+    for k in sd:
+        if k.startswith(stem + "."):
+            parts = k[len(stem) + 1 :].split(".")
+            idx.add((int(parts[0]), int(parts[1])))
+    blocks, cur = [], -1
+    for bi, li in sorted(idx):
+        if bi != cur:
+            blocks.append([])
+            cur = bi
+        blocks[-1].append(convert_layer(f"{stem}.{bi}.{li}"))
+    return blocks
+
+
+def walk_openai_middle(sd, convert_layer):
+    return [
+        convert_layer(f"middle_block.{li}")
+        for li in sorted(
+            {int(k.split(".")[1]) for k in sd if k.startswith("middle_block.")}
+        )
+    ]
+
+
 def convert_openai_unet(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
     """cfg: models.openai_unet.OpenAIUNetConfig. Walks input_blocks /
     middle_block / output_blocks by index, detecting each sub-layer kind
@@ -246,45 +289,10 @@ def convert_openai_unet(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
             "w": np.asarray(sd["label_emb.weight"], np.float32)
         }
 
-    def block_entries(stem: str):
-        """Group keys by (block_idx, layer_idx)."""
-        idx = set()
-        for k in sd:
-            if k.startswith(stem + "."):
-                parts = k[len(stem) + 1 :].split(".")
-                idx.add((int(parts[0]), int(parts[1])))
-        return sorted(idx)
-
-    def convert_layer(p):
-        if f"{p}.in_layers.0.weight" in sd:
-            return ("res", _openai_resblock(sd, p))
-        if f"{p}.qkv.weight" in sd:
-            return ("attn", _openai_attn(sd, p))
-        if f"{p}.op.weight" in sd:
-            return ("down", _conv(sd, f"{p}.op"))
-        if f"{p}.conv.weight" in sd:
-            return ("up", _conv(sd, f"{p}.conv"))
-        if f"{p}.weight" in sd:  # bare conv (input_blocks.0.0)
-            return ("conv", _conv(sd, p))
-        raise KeyError(f"unrecognized layer at {p}")
-
+    convert_layer = lambda p: classify_openai_layer(sd, p)
     for stem in ("input_blocks", "output_blocks"):
-        blocks = []
-        cur = -1
-        for bi, li in block_entries(stem):
-            if bi != cur:
-                blocks.append([])
-                cur = bi
-            blocks[-1].append(convert_layer(f"{stem}.{bi}.{li}"))
-        params[stem] = blocks
-
-    mid = []
-    mids = sorted(
-        {int(k.split(".")[1]) for k in sd if k.startswith("middle_block.")}
-    )
-    for li in mids:
-        mid.append(convert_layer(f"middle_block.{li}"))
-    params["middle_block"] = mid
+        params[stem] = walk_openai_blocks(sd, stem, convert_layer)
+    params["middle_block"] = walk_openai_middle(sd, convert_layer)
 
     params["out_norm"] = _norm(sd, "out.0")
     params["out_conv"] = _conv(sd, "out.2")

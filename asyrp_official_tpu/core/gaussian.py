@@ -321,17 +321,22 @@ def _loop(step_fn, model_fn, tab, noise, rng, timesteps=None):
     return x
 
 
-def p_sample_loop(model_fn, tab, noise, rng, **kw):
+def p_sample_loop(model_fn, tab, noise, rng, *, timesteps=None, **kw):
+    """`timesteps` (descending) restricts the grid — pair with
+    `respaced_tables` + `wrap_model_for_respacing` for SpacedDiffusion
+    semantics, or pass a raw sub-grid here."""
     return _loop(
         lambda tab, mo, x, t, sub: p_sample(tab, mo, x, t, sub, **kw),
-        model_fn, tab, noise, rng,
+        model_fn, tab, noise, rng, timesteps=timesteps,
     )
 
 
-def ddim_sample_loop(model_fn, tab, noise, rng, *, eta: float = 0.0, **kw):
+def ddim_sample_loop(
+    model_fn, tab, noise, rng, *, eta: float = 0.0, timesteps=None, **kw
+):
     return _loop(
         lambda tab, mo, x, t, sub: ddim_sample(tab, mo, x, t, sub, eta=eta, **kw),
-        model_fn, tab, noise, rng,
+        model_fn, tab, noise, rng, timesteps=timesteps,
     )
 
 

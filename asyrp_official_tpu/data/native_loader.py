@@ -52,7 +52,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             return _LIB
         if _BUILD_FAILED:
             return None
-        if not os.path.exists(_SO_PATH) and not _build():
+        src = os.path.join(_NATIVE_DIR, "imgloader.cpp")
+        stale = os.path.exists(_SO_PATH) and os.path.exists(src) and (
+            os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
+        )
+        if (not os.path.exists(_SO_PATH) or stale) and not _build():
+            # a stale prebuilt .so would bind the current argtypes to an
+            # old ABI (this repo already changed the signature once)
             _BUILD_FAILED = True
             return None
         try:

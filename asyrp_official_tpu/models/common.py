@@ -187,9 +187,12 @@ def downsample_pad_conv(p, x):
 
 
 def avg_pool_2x(x):
+    """2x2/2 average pool (Downsample with_conv=False,
+    models/ddpm/diffusion.py:106-109)."""
     return jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-    ) * 0.25
+        x, jnp.zeros((), x.dtype), jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
+        "VALID",
+    ) * jnp.asarray(0.25, x.dtype)
 
 
 def spatial_attention(q, k, v, *, num_heads=1, legacy_scale=False):

@@ -128,7 +128,9 @@ def init(key, cfg: DDPMppConfig) -> Dict[str, Any]:
             if level_res[i_level] in cfg.attn_resolutions:
                 attns.append(_attn_init(nxt(), block_in))
         lvl = {"block": blocks, "attn": attns}
-        if i_level != cfg.num_resolutions - 1:
+        if i_level != cfg.num_resolutions - 1 and cfg.resamp_with_conv:
+            # with_conv=False resamples parameter-free (avg pool / nearest
+            # interpolate, models/ddpm/diffusion.py:73-113)
             lvl["downsample"] = cm.conv_init(nxt(), 3, 3, block_in, block_in)
         down.append(lvl)
     params["down"] = down
@@ -158,7 +160,8 @@ def init(key, cfg: DDPMppConfig) -> Dict[str, Any]:
                 attns.append(_attn_init(nxt(), block_in))
         lvl = {"block": blocks, "attn": attns}
         if i_level != 0:
-            lvl["upsample"] = cm.conv_init(nxt(), 3, 3, block_in, block_in)
+            if cfg.resamp_with_conv:
+                lvl["upsample"] = cm.conv_init(nxt(), 3, 3, block_in, block_in)
             curr_res = curr_res * 2
         up[i_level] = lvl
     params["up"] = up
@@ -234,8 +237,12 @@ def _encode(params, cfg, x, temb):
             if lvl["attn"]:
                 h = _attn(lvl["attn"][i_block], h)
             hs.append(h)
-        if "downsample" in lvl:
-            hs.append(cm.downsample_pad_conv(lvl["downsample"], hs[-1]))
+        if i_level != cfg.num_resolutions - 1:
+            hs.append(
+                cm.downsample_pad_conv(lvl["downsample"], hs[-1])
+                if cfg.resamp_with_conv
+                else cm.avg_pool_2x(hs[-1])
+            )
     return hs
 
 
@@ -259,8 +266,10 @@ def _decode(params, cfg, h, hs, temb):
             )
             if lvl["attn"]:
                 h = _attn(lvl["attn"][i_block], h)
-        if "upsample" in lvl:
-            h = cm.conv2d(lvl["upsample"], cm.upsample_nearest_2x(h))
+        if i_level != 0:
+            h = cm.upsample_nearest_2x(h)
+            if cfg.resamp_with_conv:
+                h = cm.conv2d(lvl["upsample"], h)
     h = _gn_silu(params["norm_out"], h)
     return cm.conv2d(params["conv_out"], h)
 

@@ -20,7 +20,8 @@ def forward_shape_report(spec, batch: int = 1) -> List[Tuple[str, tuple]]:
 
     cfg = spec.config
     res = spec.resolution
-    rows: List[Tuple[str, tuple]] = [("input", (batch, res, res, 3))]
+    cin = getattr(cfg, "in_channels", 3)
+    rows: List[Tuple[str, tuple]] = [("input", (batch, res, res, cin))]
 
     params_shape = jax.eval_shape(lambda k: spec.init(k), jax.random.PRNGKey(0))
     n_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params_shape))
@@ -30,7 +31,7 @@ def forward_shape_report(spec, batch: int = 1) -> List[Tuple[str, tuple]]:
         eps, eps_mod, delta_h, middle_h = spec.apply(params, x, t)
         return eps, middle_h
 
-    x = jax.ShapeDtypeStruct((batch, res, res, 3), jnp.float32)
+    x = jax.ShapeDtypeStruct((batch, res, res, cin), jnp.float32)
     t = jax.ShapeDtypeStruct((batch,), jnp.float32)
     eps, mid = jax.eval_shape(fwd, params_shape, x, t)
     rows.append(("middle_h (h-space)", tuple(mid.shape)))

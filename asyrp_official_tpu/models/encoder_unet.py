@@ -196,34 +196,12 @@ def encoder_params_from_torch(sd, cfg: EncoderUNetConfig) -> Dict[str, Any]:
         }
     }
 
-    def convert_layer(p):
-        if f"{p}.in_layers.0.weight" in sd:
-            return tc._openai_resblock(sd, p)
-        if f"{p}.qkv.weight" in sd:
-            return tc._openai_attn(sd, p)
-        if f"{p}.op.weight" in sd:
-            return tc._conv(sd, f"{p}.op")
-        if f"{p}.weight" in sd:
-            return tc._conv(sd, p)
-        raise KeyError(f"unrecognized layer at {p}")
-
-    idx = sorted({
-        (int(k.split(".")[1]), int(k.split(".")[2]))
-        for k in sd if k.startswith("input_blocks.")
-    })
-    blocks, cur = [], -1
-    for bi, li in idx:
-        if bi != cur:
-            blocks.append([])
-            cur = bi
-        blocks[-1].append(convert_layer(f"input_blocks.{bi}.{li}"))
-    params["input_blocks"] = blocks
-    params["middle_block"] = [
-        convert_layer(f"middle_block.{li}")
-        for li in sorted({
-            int(k.split(".")[1]) for k in sd if k.startswith("middle_block.")
-        })
-    ]
+    # one shared walker owns the torch-layout key detection
+    # (compat/torch_convert.classify_openai_layer); this model stores bare
+    # layer params (the kind tag is recomputed from structure at apply)
+    convert_layer = lambda p: tc.classify_openai_layer(sd, p)[1]
+    params["input_blocks"] = tc.walk_openai_blocks(sd, "input_blocks", convert_layer)
+    params["middle_block"] = tc.walk_openai_middle(sd, convert_layer)
 
     if cfg.pool == "adaptive":
         w = sd["out.3.weight"]  # [K, C, 1, 1] zero-init 1x1

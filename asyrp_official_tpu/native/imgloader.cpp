@@ -8,9 +8,11 @@
 //
 // C ABI (ctypes):
 //   int asyrp_decode_resize_batch(const char** paths, int n, int size,
-//                                 float* out, int n_threads);
-//     returns 0 on success, or (failed_index + 1) of the first file that
-//     could not be decoded.
+//                                 float* out, int n_threads,
+//                                 uint8_t* status);
+//     status[i] (optional, may be null) is set to 1 when paths[i] FAILED
+//     to decode (that row of `out` is untouched) and 0 on success;
+//     returns the number of failed files (0 == all decoded).
 //
 // Build: g++ -O3 -march=native -shared -fPIC imgloader.cpp -ljpeg -lpng
 //        -o libasyrpimg.so

@@ -267,3 +267,45 @@ def test_openai_non_scale_shift_non_updown(reference_path):
         et, *_ = model(torch.from_numpy(x), torch.from_numpy(t_np), index=None)
     eps, *_ = openai_unet.apply(params, cfg, _nhwc(x), jnp.asarray(t_np))
     np.testing.assert_allclose(_nchw(eps), et.numpy(), rtol=1e-4, atol=3e-4)
+
+
+def test_ddpmpp_forward_parity_no_resamp_conv(reference_path):
+    """resamp_with_conv=False: parameter-free avg-pool / nearest resampling
+    (models/ddpm/diffusion.py:73-113). The flag was previously accepted but
+    ignored — a converted with_conv=False checkpoint silently skipped
+    resampling entirely."""
+    import torch
+    from types import SimpleNamespace
+
+    from models.ddpm.diffusion import DDPM
+
+    config = SimpleNamespace(
+        model=SimpleNamespace(
+            ch=32, out_ch=3, ch_mult=[1, 2], num_res_blocks=1,
+            attn_resolutions=[16], dropout=0.0, in_channels=3,
+            resamp_with_conv=False,
+        ),
+        data=SimpleNamespace(image_size=32),
+    )
+    torch.manual_seed(0)
+    model = DDPM(config)
+    model.eval()
+
+    cfg = ddpmpp.DDPMppConfig(
+        ch=32, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(16,),
+        resolution=32, resamp_with_conv=False,
+    )
+    params = convert_ddpmpp(_sd_numpy(model), cfg)
+    # init must agree structurally with the converted tree (no conv keys)
+    init_p = ddpmpp.init(jax.random.PRNGKey(0), cfg)
+    assert jax.tree.structure(init_p) == jax.tree.structure(
+        jax.tree.map(jnp.asarray, params)
+    )
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 3, 32, 32).astype(np.float32)
+    t_np = np.array([241.0], np.float32)
+    with torch.no_grad():
+        et, *_ = model(torch.from_numpy(x), torch.from_numpy(t_np), index=None)
+    eps, *_ = ddpmpp.apply(params, cfg, _nhwc(x), jnp.asarray(t_np))
+    np.testing.assert_allclose(_nchw(eps), et.numpy(), rtol=1e-4, atol=2e-4)
