@@ -48,6 +48,14 @@ VESTIGIAL_FLAGS = [
     "Three_compare_addnoise", "get_SNR",
 ]
 
+# accepted with the reference's value arity/defaults, but undispatched —
+# declared individually in build_parser, reported by --list_vestigial
+VESTIGIAL_VALUE_FLAGS = [
+    "bs_test", "rambda", "LPIPS_addnoise_th", "n_test_pretrained_inv_step",
+    "lr_clip_finetune", "lr_latent_clr", "lr_clip_lat_opt", "var",
+    "maintain", "maintain_min", "interpolation_step",
+]
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Asyrp-TPU")
@@ -118,7 +126,7 @@ def build_parser() -> argparse.ArgumentParser:
     add("--retrain", type=int, default=0)
     add("--n_iter", type=int, default=1)
     add("--bs_train", type=int, default=1)
-    add("--bs_test", type=int, default=1)
+    add("--bs_test", type=int, default=1)  # undispatched in the reference too (CLIP-finetune leftover, main.py:179); listed by --list_vestigial
     add("--n_precomp_img", type=int, default=100)
     add("--n_train_img", type=int, default=100)
     add("--n_test_img", type=int, default=32)
@@ -265,14 +273,21 @@ def build_contexts(args):
         from asyrp_official_tpu.losses import lpips_jax
 
         blob = _np.load(args.lpips_ckpt, allow_pickle=True)
-        lpips_params = blob["params"].item() if "params" in blob else None
+        if "params" not in blob:
+            raise ValueError(
+                f"--lpips_ckpt {args.lpips_ckpt}: expected an npz with a "
+                f"'params' entry (np.savez(path, params=np.array(tree, "
+                f"dtype=object))); found keys {list(blob.files)} — convert "
+                "torch lpips weights via losses.lpips_jax.params_from_torch"
+            )
+        lpips_params = blob["params"].item()
     return clip_ctx, id_params, lpips_params
 
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else list(argv)
     if "--list_vestigial" in argv:  # usable without the required --config
-        print("\n".join(VESTIGIAL_FLAGS))
+        print("\n".join(VESTIGIAL_FLAGS + VESTIGIAL_VALUE_FLAGS))
         return 0
     args = build_parser().parse_args(argv)
 

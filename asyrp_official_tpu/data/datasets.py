@@ -221,9 +221,27 @@ class CelebAHQLMDB:
             path, max_readers=32, readonly=True, lock=False,
             readahead=False, meminit=False,
         )
+        self.path = path
         with self.env.begin(write=False) as txn:
-            self.length = int(txn.get(b"length").decode())
+            raw = txn.get(b"length")
+        if raw is None:
+            raise ValueError(
+                f"{path}: no 'length' key — not a stylegan2-layout LMDB "
+                "(build one with data/prepare_lmdb.py)"
+            )
+        self.length = int(raw.decode())
         self.image_size = image_size
+
+    def close(self):
+        if self.env is not None:
+            self.env.close()
+            self.env = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self):
         return self.length
@@ -232,6 +250,12 @@ class CelebAHQLMDB:
         with self.env.begin(write=False) as txn:
             key = f"{self.image_size}-{str(idx).zfill(5)}".encode()
             img_bytes = txn.get(key)
+        if img_bytes is None:
+            raise KeyError(
+                f"{self.path}: no image at resolution {self.image_size} "
+                f"(key {key.decode()!r}) — the LMDB was built without that "
+                "size (prepare_lmdb.py --size)"
+            )
         return _to_pm1(Image.open(BytesIO(img_bytes)))
 
 
@@ -254,6 +278,17 @@ class LSUNLMDB:
             self.length = txn.stat()["entries"]
             self.keys = [k for k in txn.cursor().iternext(keys=True, values=False)]
         self.image_size = image_size
+
+    def close(self):
+        if self.env is not None:
+            self.env.close()
+            self.env = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self):
         return self.length

@@ -60,6 +60,11 @@ def load_train_state(path: str, *, like: Dict[str, Any]) -> Optional[Dict[str, A
         like2["extra"] = _EMPTY_EXTRA
     try:
         return ckptr.restore(path, like2)
-    except Exception:
-        # sidecars written before 'extra' became unconditional
-        return ckptr.restore(path, like)
+    except Exception as primary:
+        # sidecars written before 'extra' became unconditional restore with
+        # the caller's original structure; if THAT also fails, the ckpt is
+        # genuinely bad — surface the first error, not the fallback's
+        try:
+            return ckptr.restore(path, like)
+        except Exception:
+            raise primary

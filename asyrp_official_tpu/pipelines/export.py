@@ -101,11 +101,21 @@ def export_invert_edit(
 
 
 def save_serving(path: str, artifact: bytes, meta: dict) -> None:
-    """Write `{path}` (serialized program) + `{path}.meta.json`."""
-    with open(path, "wb") as f:
-        f.write(artifact)
-    with open(path + _META_SUFFIX, "w") as f:
-        json.dump(meta, f, indent=1)
+    """Write `{path}` (serialized program) + `{path}.meta.json`
+    (tmp-then-replace — a half-written artifact must not load)."""
+    for target, write in (
+        (path, lambda f: f.write(artifact)),
+        (path + _META_SUFFIX, lambda f: json.dump(meta, f, indent=1)),
+    ):
+        tmp = f"{target}.tmp.{os.getpid()}"
+        mode = "wb" if target == path else "w"
+        try:
+            with open(tmp, mode) as f:
+                write(f)
+            os.replace(tmp, target)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
 
 
 def load_serving(path: str) -> Callable:

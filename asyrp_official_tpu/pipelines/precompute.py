@@ -61,9 +61,23 @@ def load_pairs_cache(base_path: str) -> Optional[Dict[str, np.ndarray]]:
     return None
 
 
+def _atomic_savez(path: str, **arrays) -> None:
+    """tmp-then-replace: a crash mid-write of a (possibly hours-long)
+    precompute must not leave a truncated .npz that poisons every later
+    run's cache probe."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    # the tmp name must keep the .npz suffix — np.savez APPENDS it otherwise
+    tmp = f"{path}.{os.getpid()}.tmp.npz"
+    try:
+        np.savez(tmp, **arrays)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
 def _save_cache(base_path: str, pairs: Dict[str, np.ndarray]) -> None:
-    os.makedirs(os.path.dirname(base_path) or ".", exist_ok=True)
-    np.savez(base_path + ".npz", **pairs)
+    _atomic_savez(base_path + ".npz", **pairs)
 
 
 def precompute_pairs(
@@ -95,6 +109,10 @@ def precompute_pairs(
     order (`--shuffle_train_dataloader`). `put` commits a numpy batch to
     device(s) — e.g. mesh batch-sharding; it may PAD the batch axis (outputs
     are sliced back to the real count here)."""
+    # clamp by what the dataset can provide BEFORE naming the cache: an
+    # over-requested nim would otherwise name a cache whose row-count probe
+    # can never pass, re-precomputing on every run
+    n_img = min(n_img, len(dataset))
     base = pairs_cache_path(
         cache_dir, category, mode, t_0, n_img, n_inv_step, class_name=class_name
     )
@@ -194,8 +212,7 @@ def precompute_with_h(
         "h_times": np.asarray(seq[:-1], np.int32),
     }
     if base is not None:
-        os.makedirs(os.path.dirname(base) or ".", exist_ok=True)
-        np.savez(base + ".npz", **out)
+        _atomic_savez(base + ".npz", **out)
     return out
 
 

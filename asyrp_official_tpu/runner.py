@@ -326,7 +326,12 @@ class AsyrpRunner:
     def get_pairs(self, params, mode: str) -> Dict[str, np.ndarray]:
         a = self.args
         d = self.config["data"]
-        n_img = a.n_train_img if mode == "train" else a.n_test_img
+        # the reference sizes + names the latent cache by --n_precomp_img,
+        # independent of the train/test image counts that consume it
+        # (diffusion_latent.py:967-970,988); precompute at least what the
+        # consuming split needs so an undersized default cannot starve it
+        n_consume = a.n_train_img if mode == "train" else a.n_test_img
+        n_img = max(n_consume, getattr(a, "n_precomp_img", 0) or 0)
         if getattr(a, "load_random_noise", False):
             return pc.random_noise_pairs(
                 self.spec, params, self.schedule,
@@ -504,6 +509,13 @@ class AsyrpRunner:
             keep = [i for i in range(x_lat_all.shape[0]) if i in target_ids]
             x_lat_all, x0_all = x_lat_all[keep], x0_all[keep]
 
+        if x_lat_all.shape[0] < a.bs_train:
+            raise ValueError(
+                f"no full batch to train on: bs_train={a.bs_train} > "
+                f"{x_lat_all.shape[0]} available training images "
+                "(drop_last would skip every batch and save an UNTRAINED "
+                "checkpoint)"
+            )
         for it_out in range(a.start_iter_when_you_use_pretrained, a.n_iter):
             save_name = self._ckpt_path(it_out)
             if not a.retrain and os.path.exists(save_name):
@@ -522,7 +534,12 @@ class AsyrpRunner:
                             "meta": {"it_out": np.asarray(0)},
                         },
                     )
-                except Exception:
+                except Exception as e:
+                    log.warning(
+                        "orbax sidecar restore failed (%s: %s) — falling "
+                        "back to the .pth delta params; optimizer state "
+                        "resets", type(e).__name__, e,
+                    )
                     restored = None
                 if restored is not None:
                     opt_state = restored["opt_state"]
@@ -592,6 +609,10 @@ class AsyrpRunner:
                 prev = self._ckpt_path(it_out - 1)
                 if os.path.exists(prev):
                     os.remove(prev)
+                if os.path.isdir(prev + ".orbax"):
+                    import shutil
+
+                    shutil.rmtree(prev + ".orbax", ignore_errors=True)
 
         if a.do_test:
             self._test_sweep(params, edit, seq_test)
@@ -847,6 +868,12 @@ class AsyrpRunner:
                 else:
                     remapped = rows_dict
                 edit = self._edit_from_rows(remapped, hs_coeff, seq_test)
+            else:
+                raise ValueError(
+                    f"checkpoint {save_names[0]} exists but neither "
+                    "--train_delta_block nor --train_delta_h was passed — "
+                    "the flag selects how its contents are interpreted"
+                )
         elif not mean_dh_pending:
             raise FileNotFoundError(f"checkpoint({save_names[0]}) does not exist!")
         if edit is not None:

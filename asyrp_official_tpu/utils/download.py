@@ -24,14 +24,21 @@ GDRIVE_NOTES = {
 
 def download_url(url: str, dest: str, *, timeout: int = 600) -> str:
     os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
-    tmp = dest + ".part"
-    with urllib.request.urlopen(url, timeout=timeout) as r, open(tmp, "wb") as f:
-        while True:
-            chunk = r.read(1 << 20)
-            if not chunk:
-                break
-            f.write(chunk)
-    os.replace(tmp, dest)
+    # per-process temp name: two concurrent fetchers of the same artifact
+    # must not append to one file (whichever os.replace()s last wins with a
+    # complete copy); cleaned up on failure instead of left behind
+    tmp = f"{dest}.part.{os.getpid()}"
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as r, open(tmp, "wb") as f:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+        os.replace(tmp, dest)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return dest
 
 

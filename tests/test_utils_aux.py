@@ -129,3 +129,52 @@ def test_prepare_lmdb_gated():
 
     with pytest.raises(ImportError):
         prepare("/tmp/nope", "/tmp")
+
+
+def test_lpips_ckpt_bad_format_is_loud(tmp_path):
+    """--lpips_ckpt with a wrong npz layout must name the format problem,
+    not silently degrade to None (downstream errors then blamed the flag
+    the user had already passed)."""
+    import numpy as np
+    import pytest
+
+    from asyrp_official_tpu.cli.main import build_contexts, build_parser
+
+    bad = tmp_path / "lpips.npz"
+    np.savez(bad, weights=np.zeros(3))
+    args = build_parser().parse_args(
+        ["--config", "celeba.yml", "--lpips_ckpt", str(bad)]
+    )
+    with pytest.raises(ValueError, match="'params' entry"):
+        build_contexts(args)
+
+
+def test_download_cleans_temp_on_failure(tmp_path, monkeypatch):
+    """A failed download must not leave .part files behind (and the temp
+    name is per-process so concurrent fetchers cannot corrupt each
+    other)."""
+    import urllib.request
+
+    import pytest
+
+    from asyrp_official_tpu.utils.download import download_url
+
+    class Boom:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self, n):
+            raise OSError("connection dropped")
+
+    import os
+
+    monkeypatch.setattr(urllib.request, "urlopen", lambda *a, **k: Boom())
+    dest = tmp_path / "ckpt.bin"
+    with pytest.raises(OSError):
+        download_url("http://example.invalid/x", str(dest))
+    leftovers = [f for f in os.listdir(tmp_path) if ".part" in f or ".tmp" in f]
+    assert not leftovers, leftovers
+    assert not dest.exists()
