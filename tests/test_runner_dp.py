@@ -144,3 +144,23 @@ def test_style_transfer_under_dp(ws, tmp_path):
         ia = np.asarray(Image.open(ws / "styled_sd" / name), np.int16)
         ib = np.asarray(Image.open(ws / "styled_dp" / name), np.int16)
         assert np.abs(ia - ib).max() <= 2, name
+
+
+def test_bf16_cli_train_and_test_with_dp(ws):
+    """--bf16 through the PRODUCT surface (never previously exercised via
+    the CLI), alone and combined with --dp batch sharding. The TRAINED
+    Δ params must agree within bf16 rounding; grid pixels are NOT
+    compared — with random weights the generation chain is chaotic, so
+    sharded-vs-unsharded bf16 conv-scheduling noise amplifies to visible
+    pixel differences (measured: Δ params agree at 3e-4 while pixels
+    diverge; with real weights the chain is contractive)."""
+    from asyrp_official_tpu.compat.delta_ckpt import load_delta_checkpoint
+
+    for tag, extra in (("b16", []), ("b16dp", ["--dp", "2"])):
+        _run(ws, tag, extra_train=["--bf16"] + extra,
+             extra_test=["--bf16"] + extra)
+        assert _grids(ws / tag), f"no grids from {tag}"
+    a = load_delta_checkpoint(_ckpt(ws / "b16"))
+    b = load_delta_checkpoint(_ckpt(ws / "b16dp"))
+    for la, lb in zip(jax.tree.leaves(a["blocks"]), jax.tree.leaves(b["blocks"])):
+        np.testing.assert_allclose(la, lb, atol=2e-3)
