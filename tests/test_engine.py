@@ -174,3 +174,48 @@ def test_bf16_no_f32_promotion():
         jax.ShapeDtypeStruct((1,), jnp.float32),
     )
     assert [o.dtype for o in out] == [jnp.bfloat16] * 3
+
+
+def test_bf16_no_f32_promotion_openai():
+    """Same bf16-stays-bf16 contract for the OpenAI family (learn_sigma,
+    scale-shift norm, updown resblocks) — its emb/hs_coeff adds are a
+    separate implementation with the same promotion hazard. Numerically:
+    with perturbed (non-zero-init) weights the bf16 output differs from
+    f32 at the bf16 mantissa scale (~1e-2 rel), proving compute genuinely
+    runs in bf16 rather than silently upcasting."""
+    from asyrp_official_tpu.models import openai_unet as ou
+
+    cfg = ou.OpenAIUNetConfig(
+        image_size=32, in_channels=3, model_channels=32, out_channels=6,
+        num_res_blocks=1, attention_ds=(2,), channel_mult=(1, 2),
+        num_head_channels=16, use_scale_shift_norm=True, resblock_updown=True,
+    )
+    p = ou.init(jax.random.PRNGKey(0), cfg)
+    block = delta_block_init(jax.random.PRNGKey(1), 64, 128, flavor="openai")
+    edit = EditState(blocks=(block,), hs_coeff=jnp.array([1.0, 1.0]),
+                     flavor="openai")
+
+    def f(x, t):
+        eps, eps_mod, _, mh = ou.apply(p, cfg, x, t, edit=edit)
+        return eps, eps_mod, mh
+
+    out = jax.eval_shape(
+        f,
+        jax.ShapeDtypeStruct((1, 32, 32, 3), jnp.bfloat16),
+        jax.ShapeDtypeStruct((1,), jnp.float32),
+    )
+    assert [o.dtype for o in out] == [jnp.bfloat16] * 3
+
+    # numeric: un-zero the zero_module tails so outputs are non-trivial
+    p2 = jax.tree.map(
+        lambda a: a + 0.02 * jax.random.normal(jax.random.PRNGKey(42), a.shape),
+        p,
+    )
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 32, 32, 3), jnp.float32)
+    t = jnp.full((1,), 500.0, jnp.float32)
+    o32, *_ = ou.apply(p2, cfg, x, t)
+    o16, *_ = ou.apply(p2, cfg, x.astype(jnp.bfloat16), t)
+    rel = float(
+        jnp.abs(o32 - o16.astype(jnp.float32)).max() / jnp.abs(o32).max()
+    )
+    assert 1e-4 < rel < 0.05, rel
