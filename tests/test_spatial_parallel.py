@@ -96,3 +96,28 @@ def test_spatial_tp_compiles_to_collectives():
     # and the output really is sharded over the height axis
     out, _ = invert(params, x0)
     assert not out.sharding.is_fully_replicated
+
+
+def test_spatially_sharded_bf16_chain_finite_and_close():
+    """bf16 + spatial TP is the real multi-chip serving configuration
+    (--dp --tp_spatial --bf16): the sharded bf16 chain must stay finite
+    and track the unsharded bf16 chain within chaotic-amplification
+    bounds on a SHORT (2-step) chain, where bf16 reduce-order noise has
+    not yet amplified."""
+    m = pmesh.make_mesh()
+    if m.devices.size < 2:
+        pytest.skip("needs multiple devices")
+    params = SPEC.init(jax.random.PRNGKey(0))
+    x0 = jnp.asarray(np.random.RandomState(0).randn(1, 32, 32, 3), jnp.float32)
+
+    seq = [100, 300, 500]  # 2 inversion steps
+    invert = engine.make_invert(SPEC, SCHED, seq, compute_dtype=jnp.bfloat16)
+    ref, _ = invert(params, x0)
+    assert bool(jnp.isfinite(ref).all())
+
+    params_r = pmesh.replicate(m, params)
+    sharded, _ = invert(params_r, spatial_shard(m, x0))
+    assert bool(jnp.isfinite(sharded).all())
+    scale = float(jnp.abs(ref).max())
+    rel = float(jnp.abs(np.asarray(sharded) - np.asarray(ref)).max()) / scale
+    assert rel < 0.05, rel  # bf16 mantissa + reduce-order noise only
