@@ -26,7 +26,8 @@ import yaml
 CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
 
 VESTIGIAL_FLAGS = [
-    # parsed-but-undispatched reference flags (main.py:83-142,186-203)
+    # parsed-but-undispatched reference flags, scattered through
+    # main.py:31-226 (the dispatched flags are declared separately below)
     "do_alternate", "style_transfer", "style_transfer_style_from_train_images",
     "style_transfer_noise_from", "latent_classifier", "warigari", "attr_index",
     "classification_results_file_name", "clip_finetune", "global_clip",
@@ -190,7 +191,7 @@ def build_parser() -> argparse.ArgumentParser:
     add("--model_ratio", type=float, default=1.0)
     add("--save_grid", action="store_true")
 
-    # DiffStyle (reference parses these, main.py:117-127; dispatched here)
+    # DiffStyle (reference parses these, main.py:191-203; dispatched here)
     add("--content_dir", type=str, default="contents")
     add("--style_dir", type=str, default="styles")
     add("--save_dir", type=str, default=None)

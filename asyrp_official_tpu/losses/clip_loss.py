@@ -86,7 +86,9 @@ class CLIPContext:
         return feats
 
     def get_text_features(self, class_str: str, templates=None) -> jnp.ndarray:
-        """Template-averaged normalized features (losses/clip_loss.py:90-100)."""
+        """Per-template normalized features, one row per template prompt
+        (losses/clip_loss.py:90-100); the mean over templates is taken by
+        the CALLER (compute_text_direction, :114)."""
         return self.encode_text(compose_with_templates(class_str, templates))
 
     def text_cosine(self, src_txts, trg_txts) -> float:

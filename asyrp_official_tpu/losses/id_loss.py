@@ -1,5 +1,5 @@
 """ArcFace ID loss — JAX port of IR-SE50 + IDLoss
-(losses/id_loss.py:7-35, models/insight_face/model_irse.py:49-126,
+(losses/id_loss.py:7-35, models/insight_face/model_irse.py:49-124,
 models/insight_face/helpers.py).
 
 Inference-mode only (the backbone is frozen: BatchNorm uses running stats,

@@ -324,8 +324,9 @@ def get_temb(params, cfg: OpenAIUNetConfig, t, y=None):
     emb = cm.linear(params["time_embed"]["dense0"], emb)
     emb = cm.swish(emb)
     emb = cm.linear(params["time_embed"]["dense1"], emb)
-    # NOTE: the reference forward has class conditioning commented out
-    # (models/improved_ddpm/unet.py:687 region; label_emb unused in Asyrp);
+    # NOTE: the reference forward DELETED the upstream class-conditioning
+    # add entirely — label_emb is constructed (unet.py:519-520) but never
+    # applied in forward (:676-752); Asyrp never passes labels;
     # we keep it available behind `y`.
     if y is not None and "label_emb" in params:
         emb = emb + params["label_emb"]["w"][y]

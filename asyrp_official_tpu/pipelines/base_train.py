@@ -16,7 +16,7 @@ TPU-first design:
   * timestep importance sampling stays host-side (core/resample.py), its
     per-step losses flow back out of the jitted step for the history
     update — mirroring the reference's update_with_local_losses hook
-    (train_util.py:40 region, resample.py:71-105).
+    (train_util.py:189,205-206 region, resample.py:71-105).
 """
 from __future__ import annotations
 

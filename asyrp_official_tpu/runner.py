@@ -209,7 +209,7 @@ class AsyrpRunner:
         """Frozen base-model params. Resolution order:
           1. --model_path (torch ckpt, converted) — must exist: a mistyped
              path must fail, not silently edit with garbage (the reference
-             fails on torch.load, diffusion_latent.py:124);
+             fails on torch.load, diffusion_latent.py:104-114);
           2. --download_weights → fetch registry.PRETRAINED_URLS into
              pretrained/ (the reference auto-downloads unconditionally,
              diffusion_latent.py:81-106; we gate it for zero-egress hosts);
@@ -789,7 +789,9 @@ class AsyrpRunner:
         seq_test = (
             uniform_seq(a.n_test_step, a.t_0)
             if a.n_test_step
-            else list(range(0, a.t_0))  # 'no skip' (diffusion_latent.py:564-566)
+            else list(range(0, a.t_0))  # n_test_step=0 would make the reference's
+            # linspace grid EMPTY (diffusion_latent.py:570); fall back to
+            # the full grid, mirroring seq_train's 'No skip' (:564-566)
         )
         seq_test_edit = [t for t in seq_test if t >= self.t_edit]
         params = self.load_pretrained()

@@ -35,7 +35,7 @@ def _common(ws, exp, extra):
 def test_missing_model_path_is_loud(ws):
     """Without --allow_random_weights a missing --model_path raises,
     naming the artifact (the reference fails on torch.load too,
-    diffusion_latent.py:124)."""
+    diffusion_latent.py:104-114)."""
     args = build_parser().parse_args(
         _common(ws, "loud", ["--run_test", "--train_delta_block"])
     )
