@@ -83,9 +83,18 @@ class PackedSpec:
         self.delta_flavor = spec.delta_flavor
 
     def pack(self, params):
+        def _hostlike(x):
+            if isinstance(x, np.ndarray):
+                return True
+            try:  # CPU-backend jax arrays (params inited under
+                  # default_device(cpu)) are host data too
+                return all(d.platform == "cpu" for d in x.devices())
+            except Exception:
+                return False
+
         leaves = jax.tree.leaves(params)
-        if all(isinstance(x, np.ndarray) for x in leaves):
-            # host tree (the normal case: converted torch weights) — one
+        if all(_hostlike(x) for x in leaves):
+            # host tree (converted torch weights / CPU-inited params) — one
             # host-side concat + ONE committed transfer instead of ~450
             # per-leaf device ops (the cost this class exists to avoid)
             return jax.device_put(

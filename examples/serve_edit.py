@@ -82,7 +82,7 @@ def main():
 
     # pack once; serve many
     spec = PackedSpec(spec0, params0)
-    params = jax.device_put(jnp.asarray(spec.packer.pack_numpy(params0)), dev)
+    params = spec.pack(params0)  # host-aware: ONE committed transfer
 
     sched = asyrp.make_schedule()
     seq = asyrp.uniform_seq(args.n_step, 999)
@@ -107,6 +107,10 @@ def main():
         from asyrp_official_tpu.pipelines.export import load_serving
 
         serve = load_serving(args.load)
+        if serve.meta["batch"] != args.batch:
+            print(f"artifact was lowered for batch {serve.meta['batch']}; "
+                  f"overriding --batch {args.batch}")
+            args.batch = serve.meta["batch"]
     else:
         serve = engine.make_invert_edit(
             spec, sched, seq, seq, t_edit=args.t_edit,

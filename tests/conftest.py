@@ -7,11 +7,15 @@ JAX_PLATFORMS at interpreter start, so the env-var route doesn't work here —
 """
 import os
 
+import re as _re
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# enforce the exact count — a pre-set flag with a DIFFERENT value would
+# silently break every 8-device mesh test with confusing device errors
+flags = _re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=8"
+).strip()
 
 import jax
 
