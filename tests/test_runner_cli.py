@@ -130,3 +130,31 @@ def test_reference_checkpoint_loads_in_runner(workspace, reference_path):
                      "--manual_checkpoint_name", "does_not_exist.pth"])
     )
     assert rc == 1
+
+
+def test_pristine_reference_yml_builds_hardcoded_architecture(reference_path):
+    """A user's unmodified reference yml must build the model the
+    reference actually uses: for the OpenAI-family datasets the reference
+    IGNORES the yml model section (stale SDEdit values like out_ch=3,
+    num_res_blocks=2) in favor of hardcoded dicts (script_util.py,
+    diffusion_latent.py:109-120)."""
+    import yaml
+
+    from asyrp_official_tpu.runner import spec_from_config
+
+    for name, res_blocks in (("afhq.yml", 1), ("metface.yml", 1)):
+        with open(os.path.join(reference_path, "configs", name)) as f:
+            config = yaml.safe_load(f)
+        spec = spec_from_config(config)
+        assert spec.family == "openai", name
+        assert spec.learn_sigma, name
+        assert spec.config.num_res_blocks == res_blocks, name
+        assert spec.config.out_channels == 6, name
+    # our shipped ymls (explicit family key) still build identically
+    from asyrp_official_tpu.cli.main import load_config
+
+    ours = spec_from_config(load_config("afhq.yml"))
+    theirs = spec_from_config(
+        yaml.safe_load(open(os.path.join(reference_path, "configs", "afhq.yml")))
+    )
+    assert ours.config == theirs.config and ours.family == theirs.family
