@@ -45,13 +45,24 @@ def test_native_close_to_pil(img_files):
     assert np.abs(native - pil).mean() < 0.02
 
 
-def test_bad_file_falls_back(img_files, tmp_path):
+def test_bad_file_falls_back(img_files, tmp_path, monkeypatch):
+    if nl.get_lib() is None:
+        pytest.skip("native loader unavailable")
     bad = str(tmp_path / "corrupt.jpg")
     with open(bad, "wb") as f:
         f.write(b"\xff\xd8garbage")
-    # falls back to PIL which will also fail → exception is fine to expect
-    with pytest.raises(Exception):
-        nl.decode_resize_batch([bad], 32)
+    # the PIL repair must be invoked for EXACTLY the failed file and its
+    # result land in that row; good rows keep their native result
+    called = []
+
+    def stub(p, s):
+        called.append(p)
+        return np.full((s, s, 3), 0.5, np.float32)
+
+    monkeypatch.setattr(nl, "_pil_decode_one", stub)
+    out = nl.decode_resize_batch([bad, img_files[0]], 32)
+    assert called == [bad]
+    assert np.all(out[0] == 0.5) and not np.all(out[1] == 0.5)
 
 
 def test_rgba_png_matches_pil_convention(tmp_path):
@@ -71,9 +82,10 @@ def test_rgba_png_matches_pil_convention(tmp_path):
     np.testing.assert_allclose(native, pil, atol=1e-5)
 
 
-def test_multiple_bad_files_all_repaired(img_files, tmp_path):
+def test_multiple_bad_files_all_repaired(img_files, tmp_path, monkeypatch):
     """Per-item status: several undecodable files in one batch are each
-    repaired (or raised) individually, not masked by the first failure."""
+    repaired individually (first failure must not mask the rest), and
+    good rows keep their native result."""
     if nl.get_lib() is None:
         pytest.skip("native loader unavailable")
     good = img_files[0]
@@ -82,8 +94,21 @@ def test_multiple_bad_files_all_repaired(img_files, tmp_path):
     for b in (bad1, bad2):
         with open(b, "wb") as f:
             f.write(b"\xff\xd8junk")
+    called = []
+
+    def stub(p, s):
+        called.append(p)
+        return np.full((s, s, 3), 0.5, np.float32)
+
+    monkeypatch.setattr(nl, "_pil_decode_one", stub)
+    out = nl.decode_resize_batch([bad1, good, bad2], 32)
+    assert sorted(called) == sorted([bad1, bad2])
+    assert np.all(out[0] == 0.5) and np.all(out[2] == 0.5)
+    assert not np.all(out[1] == 0.5)
+    # and when PIL also cannot decode, the error propagates
+    monkeypatch.undo()
     with pytest.raises(Exception):
-        nl.decode_resize_batch([bad1, good, bad2], 32)  # PIL also fails on them
+        nl.decode_resize_batch([bad1], 32)
 
 
 def test_dataset_wrapper(img_files):
