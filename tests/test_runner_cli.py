@@ -22,6 +22,29 @@ def _common(ws, extra):
     )
 
 
+@pytest.fixture(scope="module")
+def trained(workspace):
+    """Ensure the default-exp DeltaBlock checkpoint exists — created here,
+    not by relying on test ordering, so every dependent test runs in
+    isolation (`pytest -k`, xdist, --ff)."""
+    ws = workspace
+    ck = ws / "checkpoint" / "exp_LC_CUSTOM_t999_ninv4_ngen4_0.pth"
+    if not ck.exists():
+        rc = cli_main(_common(ws, ["--run_train", "--train_delta_block",
+                                   "--do_test", "0"]))
+        assert rc == 0, "training CLI failed"
+    return ck
+
+
+def _logged_error(caplog):
+    """The exception cli_main caught and logged (cli/main.py returns 1 for
+    ANY exception, so rc==1 alone cannot distinguish the guarded failure
+    from an unrelated crash)."""
+    errs = [r for r in caplog.records if r.exc_info]
+    assert errs, "cli_main returned 1 but logged no exception"
+    return errs[-1].exc_info[1]
+
+
 def test_parser_accepts_reference_vestigial_flags():
     p = build_parser()
     args = p.parse_args(
@@ -57,10 +80,8 @@ def test_list_vestigial_standalone():
     assert cli_main(["--list_vestigial"]) == 0
 
 
-def test_cli_train_then_test(workspace):
+def test_cli_train_then_test(workspace, trained):
     ws = workspace
-    rc = cli_main(_common(ws, ["--run_train", "--train_delta_block", "--do_test", "0"]))
-    assert rc == 0, "training CLI failed"
     ckpts = os.listdir(ws / "checkpoint")
     assert any(c.endswith("_0.pth") for c in ckpts), ckpts
     # precompute cache created
@@ -94,7 +115,7 @@ def test_cli_train_delta_h(workspace):
     assert rc == 0
 
 
-def test_cli_delta_interpolation(workspace):
+def test_cli_delta_interpolation(workspace, trained):
     ws = workspace
     rc = cli_main(
         _common(ws, ["--run_test", "--train_delta_block",
@@ -103,7 +124,7 @@ def test_cli_delta_interpolation(workspace):
     assert rc == 0
 
 
-def test_cli_random_noise(workspace):
+def test_cli_random_noise(workspace, trained):
     ws = workspace
     rc = cli_main(
         _common(ws, ["--run_test", "--train_delta_block", "--load_random_noise"])
@@ -111,16 +132,19 @@ def test_cli_random_noise(workspace):
     assert rc == 0
 
 
-def test_cli_missing_checkpoint_fails_cleanly(workspace):
+def test_cli_missing_checkpoint_fails_cleanly(workspace, caplog):
     ws = workspace
     rc = cli_main(
         _common(ws, ["--run_test", "--train_delta_block",
                      "--exp", str(ws / "runs" / "nonexistent")])
     )
     assert rc == 1  # clean failure, not a crash
+    err = _logged_error(caplog)
+    assert isinstance(err, FileNotFoundError)
+    assert "does not exist" in str(err) and "nonexistent" in str(err)
 
 
-def test_reference_checkpoint_loads_in_runner(workspace, reference_path):
+def test_reference_checkpoint_loads_in_runner(workspace, reference_path, caplog):
     """run_test with a RELEASED reference Δh checkpoint (manual name) on the
     full-size spec would need the full model; here we verify the checkpoint
     resolution path picks up the manual name."""
@@ -130,6 +154,10 @@ def test_reference_checkpoint_loads_in_runner(workspace, reference_path):
                      "--manual_checkpoint_name", "does_not_exist.pth"])
     )
     assert rc == 1
+    err = _logged_error(caplog)
+    assert isinstance(err, FileNotFoundError)
+    # the resolver must have selected the MANUAL name, not the exp default
+    assert "does_not_exist.pth" in str(err)
 
 
 def test_pristine_reference_yml_builds_hardcoded_architecture(reference_path):
