@@ -80,12 +80,34 @@ def test_cli_train_with_process_dumps_and_target_id(ws):
                      "--save_process_delta_h", "--target_image_id", "0"])
     )
     assert rc == 0
-    # per-step process frames exist
+    # per-step process frames exist...
     frames = [
-        f for r, _, fs in os.walk(ws / "runs") for f in fs
+        os.path.join(r, f) for r, _, fs in os.walk(ws / "runs") for f in fs
         if f.startswith(("origin_", "delta_h_"))
     ]
     assert frames, "no process dumps written"
+    # ...for BOTH test offsets: the reference's POST-train do_test sweep
+    # iterates every test pair unfiltered (diffusion_latent.py:413-441 has
+    # no target_image_id check; only run_test's loop does, :781-784)
+    parents = {os.path.basename(os.path.dirname(p)) for p in frames}
+    assert {"test_0_0", "test_1_0"} <= parents, parents
+
+    # run_test, by contrast, MUST honor --target_image_id: with id 0 and
+    # n_test_img 2, only offset-0 grids appear in its output folder
+    rc = cli_main(
+        _common(ws, ["--run_test", "--train_delta_block", "--save_x_origin",
+                     "--target_image_id", "0"])
+    )
+    assert rc == 0
+    run_test_dirs = [
+        os.path.join(r, d) for r, ds, _ in os.walk(ws / "runs")
+        for d in ds if d == "4"  # run_test writes to test_images/{n_test_step}
+    ]
+    assert run_test_dirs
+    grids = [
+        f for d in run_test_dirs for f in os.listdir(d) if f.endswith(".png")
+    ]
+    assert grids and all(f.split("_")[1] == "0" for f in grids), grids
 
 
 def test_fused_invert_edit_matches_two_calls():

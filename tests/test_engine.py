@@ -64,6 +64,10 @@ def test_edit_generate_coeff_sweep_single_compile(params):
         outs.append(np.asarray(x))
     # monotone-ish effect: coeff 0 equals plain asymmetric-with-zero-delta
     assert not np.allclose(outs[0], outs[2])
+    # the sweep must re-use ONE compilation: hs_coeff regressing to a
+    # static (hashed) jit argument would recompile per value — the exact
+    # perf bug this test's name guards (cf. the train-step cache hooks)
+    assert run._cache_size() == 1
 
 
 def test_edit_generate_delta_rows(params):

@@ -97,6 +97,14 @@ def test_style_transfer_masked(params):
         n_inv_step=5, n_gen_step=5, t_edit=400, use_mask=True,
     )
     assert bool(jnp.isfinite(out).all())
+    # the use_mask flag must actually reach the injection (the mask math
+    # itself is parity-tested in test_diffstyle_injection_parity.py): a
+    # pipeline that drops the argument would produce the unmasked output
+    unmasked, _ = style_transfer(
+        SPEC, params, SCHED, content, style,
+        n_inv_step=5, n_gen_step=5, t_edit=400, use_mask=False,
+    )
+    assert not np.allclose(np.asarray(out), np.asarray(unmasked), atol=1e-5)
 
 
 def test_style_transfer_below_tedit_errors(params):

@@ -64,6 +64,7 @@ def test_dp_runner_matches_single_device(ws):
     b = load_delta_checkpoint(_ckpt(ws / "dp"))
     flat_a = jax.tree.leaves(a["blocks"])
     flat_b = jax.tree.leaves(b["blocks"])
+    assert len(flat_a) == len(flat_b) > 0  # zip must not truncate silently
     for la, lb in zip(flat_a, flat_b):
         np.testing.assert_allclose(la, lb, atol=5e-5)
 
@@ -162,5 +163,10 @@ def test_bf16_cli_train_and_test_with_dp(ws):
         assert _grids(ws / tag), f"no grids from {tag}"
     a = load_delta_checkpoint(_ckpt(ws / "b16"))
     b = load_delta_checkpoint(_ckpt(ws / "b16dp"))
-    for la, lb in zip(jax.tree.leaves(a["blocks"]), jax.tree.leaves(b["blocks"])):
+    flat_a = jax.tree.leaves(a["blocks"])
+    flat_b = jax.tree.leaves(b["blocks"])
+    # this zip is the ONLY parity assertion here (grids are excluded by
+    # design) — an empty/truncated checkpoint must not pass vacuously
+    assert len(flat_a) == len(flat_b) > 0
+    for la, lb in zip(flat_a, flat_b):
         np.testing.assert_allclose(la, lb, atol=2e-3)
