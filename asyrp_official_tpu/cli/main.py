@@ -40,7 +40,7 @@ VESTIGIAL_FLAGS = [
     "l1_loss_with_x0", "pass_origin_and_save_real_image",
     "style_transfer_use_mean", "analysis", "run_optimize_delta_h",
     "run_test_pretrained_self_delta_h", "test_pretrained_at_once",
-    "align_face", "hybrid_noise", "deterministic_inv",
+    "hybrid_noise", "deterministic_inv",
     # incomplete reference research modes: parsed, checked in
     # run_training/save_image, but their image_space_noise_dict is
     # never populated by any reference path (diffusion_latent.py:451)
@@ -210,6 +210,13 @@ def build_parser() -> argparse.ArgumentParser:
              "mirrors the reference's unconditional auto-download, "
              "diffusion_latent.py:81-106)")
     add("--img_path", type=str, default=None)
+    add("--align_face", type=int, nargs="?", const=1, default=0,
+        help="FFHQ-align the custom dataset images (dlib 68-landmark) "
+             "before any pipeline reads them. The reference parses this "
+             "flag (main.py:150) but never dispatches it; here a truthy "
+             "value runs utils/align.run_alignment over the custom dirs. "
+             "Off by default to preserve the reference's effective "
+             "behavior (it never aligns)")
     add("--custom_train_dataset_dir", type=str, default="train_images")
     add("--custom_test_dataset_dir", type=str, default="test_images")
     add("--custom_dataset_name", type=str, default="custom")
@@ -285,6 +292,47 @@ def build_contexts(args):
     return clip_ctx, id_params, lpips_params
 
 
+def align_dataset_dirs(args) -> None:
+    """--align_face dispatch: FFHQ-align every image in the custom dataset
+    dirs into `{work_dir}/aligned/...` and repoint the args there, so every
+    downstream pipeline (precompute, training, grids) consumes aligned
+    faces. The reference ships `run_alignment` but never calls it
+    (utils/align_utils.py:33; flag parsed at main.py:150) — here the flag
+    is honored. Requires dlib (loud ImportError otherwise — the user
+    explicitly asked for alignment)."""
+    import hashlib
+
+    from asyrp_official_tpu.utils.align import run_alignment
+
+    exts = (".png", ".jpg", ".jpeg", ".webp", ".bmp")
+    done = {}
+    for attr in ("custom_train_dataset_dir", "custom_test_dataset_dir"):
+        src = getattr(args, attr, None)
+        if not src or not os.path.isdir(src):
+            continue
+        key = os.path.abspath(src)
+        if key in done:  # train dir == test dir: align once
+            setattr(args, attr, done[key])
+            continue
+        tag = hashlib.sha1(key.encode()).hexdigest()[:8]
+        dst = os.path.join(
+            args.work_dir or ".", "aligned",
+            f"{os.path.basename(os.path.normpath(src))}_{tag}",
+        )
+        os.makedirs(dst, exist_ok=True)
+        n = 0
+        for name in sorted(os.listdir(src)):
+            if not name.lower().endswith(exts):
+                continue
+            out = os.path.join(dst, name)
+            if not os.path.exists(out):  # idempotent across runs
+                run_alignment(os.path.join(src, name)).save(out)
+            n += 1
+        logging.info("--align_face: %d aligned images: %s -> %s", n, src, dst)
+        done[key] = dst
+        setattr(args, attr, dst)
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else list(argv)
     if "--list_vestigial" in argv:  # usable without the required --config
@@ -318,6 +366,9 @@ def main(argv=None):
         mode = "test" if args.run_test else "train" if args.run_train else "run"
         base = os.path.basename(args.sh_file_name).split(".")[0]
         shutil.copy(args.sh_file_name, os.path.join(args.exp, f"{base}_{mode}.sh"))
+
+    if getattr(args, "align_face", 0):
+        align_dataset_dirs(args)
 
     from asyrp_official_tpu.runner import AsyrpRunner
 
