@@ -70,6 +70,19 @@ class ModelSpec:
             return self.config.resolution
         return self.config.image_size
 
+    @property
+    def bottleneck_hw(self) -> int:
+        """Spatial size of the h-space (mid-block) map: the resolution after
+        len(mult)-1 downsamples of the ACTUAL architecture. Callers must use
+        this, not a user yml's model section — for the OpenAI-family
+        datasets spec_from_config deliberately ignores the yml's stale
+        SDEdit leftovers in favor of the hardcoded dicts."""
+        mult = (
+            self.config.ch_mult if self.family == "ddpmpp"
+            else self.config.channel_mult
+        )
+        return self.resolution // (2 ** (len(mult) - 1))
+
     def get_temb(self, params, t):
         if self.family == "ddpmpp":
             return ddpmpp.get_temb(params, self.config, t)

@@ -431,9 +431,9 @@ class AsyrpRunner:
 
         # trainable state
         train_target = "rows" if a.train_delta_h else "blocks"
-        bottleneck_hw = self.spec.resolution // (
-            2 ** (len(self.config["model"]["ch_mult"]) - 1)
-        )
+        # from the resolved spec, NOT config['model']: OpenAI-family ymls
+        # carry stale SDEdit model sections that spec_from_config ignores
+        bottleneck_hw = self.spec.bottleneck_hw
         extra_blocks = ()
         with jax.default_device(jax.devices("cpu")[0]):
             if train_target == "blocks":
@@ -523,6 +523,16 @@ class AsyrpRunner:
         if target_ids is not None:  # diffusion_latent.py:265-268
             keep = [i for i in range(x_lat_all.shape[0]) if i in target_ids]
             x_lat_all, x0_all = x_lat_all[keep], x0_all[keep]
+
+        if not getattr(a, "do_train", 1):
+            # the reference gates the ENTIRE per-iteration train block —
+            # resume-checkpoint loading, batches, saves — on do_train
+            # (diffusion_latent.py:237); only the post-train do_test sweep
+            # runs when it is 0
+            log.info("--do_train 0: skipping the training loop")
+            if a.do_test:
+                self._test_sweep(params, edit, seq_test)
+            return edit
 
         if x_lat_all.shape[0] < a.bs_train:
             raise ValueError(
@@ -721,13 +731,28 @@ class AsyrpRunner:
                 sample_type=a.sample_type, dt_lambda=a.dt_lambda,
                 dt_end=a.dt_end, collect=collect,
             )
-            for coeff in hs_coeff_list or [tuple(np.asarray(edit.hs_coeff))]:
-                e = dataclasses.replace(edit, hs_coeff=jnp.asarray(coeff, jnp.float32))
+            for coeff in hs_coeff_list or [None]:
+                if coeff is None:
+                    # no sweep: pass the already-committed/replicated edit
+                    # through untouched (a host round-trip + uncommitted
+                    # hs_coeff leaf here cost a slow relay dispatch PER
+                    # batch)
+                    e = edit
+                else:
+                    e = dataclasses.replace(
+                        edit,
+                        hs_coeff=self._replicate(jnp.asarray(coeff, jnp.float32)),
+                    )
                 x, ys = run(params, e, x_dev, rng)
                 rows.append(np.asarray(x)[:n_real])
                 if collect_delta:
-                    # [S, B, h, w, C], sliced to the un-padded batch
-                    harvested = np.asarray(ys["delta_h"])[:, :n_real]
+                    # [S, B, h, w, C], un-padded batch; SUMMED over coeff
+                    # passes — the reference accumulates delta_h_dict[t] +=
+                    # delta_h inside the per-hs_coeff loop and divides by
+                    # the image count only (diffusion_latent.py:528-532,
+                    # :811-815)
+                    h_new = np.asarray(ys["delta_h"])[:, :n_real]
+                    harvested = h_new if harvested is None else harvested + h_new
                 if getattr(a, "save_process_delta_h", False):
                     self._dump_process(ys, seq, folder, file_name, "delta_h", n_real)
 
@@ -791,7 +816,10 @@ class AsyrpRunner:
                 break
             self.save_grid(
                 params, edit, xb, seq_test,
-                file_name=f"test_{ofs}_{a.n_iter - 1}", folder=folder, x0=x0b,
+                # last-image index, like the reference's save_image firing
+                # at (step+1) % bs == 0 (diffusion_latent.py:427-436)
+                file_name=f"test_{ofs + a.bs_train - 1}_{a.n_iter - 1}",
+                folder=folder, x0=x0b,
             )
 
     # ------------------------------------------------------------------
@@ -811,9 +839,11 @@ class AsyrpRunner:
         seq_test_edit = [t for t in seq_test if t >= self.t_edit]
         params = self.load_pretrained()
 
-        # 'no skip' (0) means the full T-step grid for scaling purposes
-        n_train_eff = a.n_train_step or self.schedule.num_timesteps
-        n_test_eff = a.n_test_step or self.schedule.num_timesteps
+        # 'no skip' (0) falls back to the t_0-length grid actually built
+        # above — the scaling denominator must match the grid in use (the
+        # reference divides n_train/n_test directly, :626, and crashes on 0)
+        n_train_eff = a.n_train_step or a.t_0
+        n_test_eff = a.n_test_step or a.t_0
         scaling = n_train_eff / n_test_eff * a.hs_coeff_delta_h
 
         # checkpoint resolution (diffusion_latent.py:594-610)
@@ -921,6 +951,14 @@ class AsyrpRunner:
 
         folder = self._dir(os.path.join(a.exp, "test_images", str(a.n_test_step)))
         target_ids = self._parse_target_ids(getattr(a, "target_image_id", None))
+        if target_ids is not None and a.bs_train != 1:
+            # the loop below compares PER-IMAGE ids against the batch start
+            # offset; with bs_train > 1 the ids would silently miss (or
+            # drag in batch-mates) — the reference asserts the same
+            # (diffusion_latent.py:781-782)
+            raise ValueError(
+                "target_image_id is only supported for bs_train == 1"
+            )
 
         # reference iterates the TRAIN split first (harvesting mean-Δh
         # there, diffusion_latent.py:778-837), then the TEST split
@@ -946,7 +984,11 @@ class AsyrpRunner:
                 harvesting = bool(mean_dh_pending) and mode == "train"
                 h = self.save_grid(
                     params, edit, xb, seq_test,
-                    file_name=f"{mode}_{ofs}_{a.n_iter - 1}",
+                    # the reference names grids by the LAST image's loader
+                    # index (save_image fires at (step+1)%bs==0,
+                    # diffusion_latent.py:797-806) — match it so
+                    # by-filename comparisons line up at bs_train > 1
+                    file_name=f"{mode}_{ofs + a.bs_train - 1}_{a.n_iter - 1}",
                     folder=folder, hs_coeff_list=hs_coeff_list, x0=x0b,
                     collect_delta=harvesting,
                 )
@@ -1008,13 +1050,17 @@ class AsyrpRunner:
             missing.append(
                 f"base diffusion ckpt: --model_path {a.model_path!r} not found"
             )
+        # same precedence as run_test / the reference (:594-610):
+        # manual > choose_checkpoint_num > LC/exp name
         if getattr(a, "manual_checkpoint_name", None):
             ckpt = os.path.join(self._dir("checkpoint"), a.manual_checkpoint_name)
+        elif getattr(a, "choose_checkpoint_num", None):
+            ckpt = self._ckpt_path(a.n_iter - 1, a.choose_checkpoint_num)
         else:
             ckpt = self._ckpt_path(a.n_iter - 1)
         if not os.path.exists(ckpt):
             missing.append(
-                f"trained Δ checkpoint: {ckpt} (36 released .pth ship in the "
+                f"trained Δ checkpoint: {ckpt} (35 released .pth ship in the "
                 "reference repo's checkpoint/ — loadable as-is)"
             )
         ref_dir = getattr(a, "fidelity_ref_dir", None)
@@ -1038,8 +1084,8 @@ class AsyrpRunner:
         params = self.load_pretrained()
         seq_inv = uniform_seq(a.n_inv_step, a.t_0)
         seq_test = uniform_seq(a.n_test_step, a.t_0)
-        n_train_eff = a.n_train_step or self.schedule.num_timesteps
-        n_test_eff = a.n_test_step or self.schedule.num_timesteps
+        n_train_eff = a.n_train_step or a.t_0
+        n_test_eff = a.n_test_step or a.t_0
         scaling = n_train_eff / n_test_eff * a.hs_coeff_delta_h
         loaded = delta_ckpt.load_delta_checkpoint(ckpt)
         if "blocks" not in loaded:

@@ -309,3 +309,15 @@ def test_ddpmpp_forward_parity_no_resamp_conv(reference_path):
         et, *_ = model(torch.from_numpy(x), torch.from_numpy(t_np), index=None)
     eps, *_ = ddpmpp.apply(params, cfg, _nhwc(x), jnp.asarray(t_np))
     np.testing.assert_allclose(_nchw(eps), et.numpy(), rtol=1e-4, atol=2e-4)
+
+
+def test_bottleneck_hw_from_actual_architecture():
+    """ModelSpec.bottleneck_hw derives the h-space size from the RESOLVED
+    architecture: OpenAI-family ymls carry stale SDEdit model sections
+    that spec_from_config ignores, so the runner must not read
+    config['model']['ch_mult'] for the delta-row geometry (all reference
+    families bottleneck at 512ch x 8x8 @256px, SURVEY.md §0)."""
+    from asyrp_official_tpu.models.registry import resolve
+
+    for ds in ("CelebA_HQ", "AFHQ", "IMAGENET", "MetFACE"):
+        assert resolve(ds).bottleneck_hw == 8, ds

@@ -74,6 +74,63 @@ def test_mean_of_delta_hs(ws):
     assert rc == 0
 
 
+def test_mean_of_delta_hs_accumulates_coeff_passes(ws):
+    """Harvest x delta_interpolation: the reference accumulates delta_h
+    across the per-hs_coeff sweep passes and divides by the IMAGE count
+    only (diffusion_latent.py:528-532, :811-815) — with two identical
+    sweep coefficients the saved rows must be exactly 2x the
+    single-pass rows."""
+    from asyrp_official_tpu.compat.delta_ckpt import load_delta_checkpoint
+
+    _make_delta_ckpt(ws, "macc_LC_CUSTOM_t999_ninv4_ngen4_0.pth")
+    base = ["--run_test", "--train_delta_block", "--edit_attr", "smiling",
+            "--load_from_checkpoint", "macc",
+            "--num_mean_of_delta_hs", "2", "--do_test", "0", "--do_train", "1"]
+    assert cli_main(_common(ws, "macc1", base)) == 0
+    assert cli_main(_common(ws, "macc2", base + [
+        "--delta_interpolation", "--num_delta", "2",
+        "--min_delta", "1.0", "--max_delta", "1.0",
+    ])) == 0
+    one = load_delta_checkpoint(
+        ws / "checkpoint_latent" / "macc1_LC_CUSTOM_t999_ninv4_ngen4_4_2.pth"
+    )["delta_rows"]
+    two = load_delta_checkpoint(
+        ws / "checkpoint_latent" / "macc2_LC_CUSTOM_t999_ninv4_ngen4_4_2.pth"
+    )["delta_rows"]
+    assert sorted(one) == sorted(two) and len(one) > 1
+    for k in one:
+        np.testing.assert_allclose(two[k], 2.0 * one[k], rtol=1e-5, atol=1e-6)
+
+
+def test_target_image_id_with_batch_is_loud(ws, caplog):
+    """run_test's target filter compares per-image ids against the batch
+    start offset; with bs_train > 1 it would silently skip (or drag in
+    batch-mates). The reference asserts bs==1 (diffusion_latent.py:781-782);
+    we must error, not complete 'successfully' with zero images."""
+    _make_delta_ckpt(ws, "tgt_LC_CUSTOM_t999_ninv4_ngen4_0.pth")
+    rc = cli_main(_common(ws, "tgt", [
+        "--run_test", "--train_delta_block", "--edit_attr", "smiling",
+        "--load_from_checkpoint", "tgt",
+        "--target_image_id", "1", "--bs_train", "2",
+    ]))
+    assert rc == 1
+    errs = [r for r in caplog.records if r.exc_info]
+    assert errs and "bs_train == 1" in str(errs[-1].exc_info[1])
+
+
+def test_do_train_0_skips_training_loop(ws):
+    """--run_train --do_train 0: the reference gates the whole per-iteration
+    train block on do_train (diffusion_latent.py:237) — no training, no
+    checkpoint written."""
+    rc = cli_main(_common(ws, "dt0", [
+        "--run_train", "--train_delta_block", "--edit_attr", "smiling",
+        "--do_train", "0", "--do_test", "0",
+    ]))
+    assert rc == 0
+    cks = [c for c in os.listdir(ws / "checkpoint") if c.startswith("dt0_")]
+    assert not cks, cks
+
+
 def test_resume_from_pth_with_get_h_num_2(ws):
     """.pth-only resume with get_h_num=2 must keep the trained/extra block
     split: _save_delta writes [trained]+extras, and restoring ALL of them
