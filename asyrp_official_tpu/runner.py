@@ -611,7 +611,9 @@ class AsyrpRunner:
                 ):  # training-time visual checkpoints (diffusion_latent.py:358-365)
                     self.save_grid(
                         params, edit, np.asarray(xb), seq_test,
-                        file_name=f"train_{ofs}_{it_out}",
+                        # last-image index, like the reference's
+                        # train_{step}_{it_out} at batch-fire time (:364)
+                        file_name=f"train_{ofs + a.bs_train - 1}_{it_out}",
                         # --save_to_folder overrides the folder (main.py:292-293)
                         folder=getattr(a, "save_to_folder", None)
                         or self._dir(os.path.join(a.exp, "training_images")),
