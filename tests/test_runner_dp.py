@@ -147,6 +147,35 @@ def test_style_transfer_under_dp(ws, tmp_path):
         assert np.abs(ia - ib).max() <= 2, name
 
 
+def test_delta_interpolation_sweep_under_dp(ws):
+    """--delta_interpolation under --dp: the coefficient sweep re-invokes
+    save_grid once per hs_coeff tuple (diffusion_latent.py:726-755); each
+    pass must shard the batch over the mesh and still land on the same
+    grids as the unsharded sweep (same work dir → same cached latents and
+    Δ checkpoint → pure decode comparison)."""
+    sweep = ["--delta_interpolation", "--num_delta", "3", "--save_x_origin"]
+    rc = cli_main(_args(ws, "interp", ["--run_train", "--train_delta_block",
+                                       "--do_test", "0"]))
+    assert rc == 0
+    rc = cli_main(_args(ws, "interp",
+                        ["--run_test", "--train_delta_block"] + sweep))
+    assert rc == 0
+    gs = _grids(ws / "interp")
+    assert gs, "no grid from the unsharded sweep"
+    baseline = {p: np.asarray(Image.open(p), np.int16).copy() for p in gs}
+    for p in gs:
+        os.remove(p)
+
+    rc = cli_main(_args(ws, "interp", ["--run_test", "--train_delta_block",
+                                       "--dp", "2"] + sweep))
+    assert rc == 0
+    gs2 = _grids(ws / "interp")
+    assert sorted(gs2) == sorted(baseline), (gs2, list(baseline))
+    for p in gs2:
+        ib = np.asarray(Image.open(p), np.int16)
+        assert np.abs(baseline[p] - ib).max() <= 2, p
+
+
 def test_bf16_cli_train_and_test_with_dp(ws):
     """--bf16 through the PRODUCT surface (never previously exercised via
     the CLI), alone and combined with --dp batch sharding. The TRAINED
