@@ -127,6 +127,60 @@ def test_released_openai_flavor_golden_forward(reference_path):
     )
 
 
+CKPT_DIR = "/root/reference/checkpoint"
+
+
+@pytest.mark.skipif(not os.path.isdir(CKPT_DIR), reason="released ckpts unavailable")
+def test_all_released_checkpoints_golden_forward(reference_path):
+    """Sweep EVERY released Δh checkpoint the reference ships (35 .pth,
+    SURVEY.md §2.1 #27): each must load, auto-detect the right DeltaBlock
+    flavor for its model family, and golden-match the corresponding torch
+    reference module's forward on the real released weights."""
+    import torch
+
+    names = sorted(f for f in os.listdir(CKPT_DIR) if f.endswith(".pth"))
+    assert len(names) == 35, names
+
+    # category (from `{attr}_LC_{category}_t999_...`) → torch module + flavor
+    from models.ddpm.diffusion import DeltaBlock as DDPMDelta
+    from models.guided_diffusion.unet import DeltaBlock as ADMDelta
+    from models.improved_ddpm.unet import DeltaBlock as IDDPMDelta
+
+    def family(name):
+        cat = name.split("_LC_")[1].rsplit("_t999_", 1)[0]
+        if cat in ("CelebA_HQ", "church_outdoor", "bedroom"):
+            return "ddpm", DDPMDelta(in_channels=512, out_channels=512,
+                                     temb_channels=512, dropout=0.0)
+        if cat == "dog":
+            return "openai", IDDPMDelta(channels=512, emb_channels=512, dropout=0.0)
+        if cat == "metfaces":
+            return "openai", ADMDelta(channels=512, emb_channels=512, dropout=0.0)
+        raise AssertionError(f"unknown released category {cat!r} in {name}")
+
+    rng = np.random.RandomState(0)
+    h = rng.randn(1, 512, 8, 8).astype(np.float32)
+    emb = rng.randn(1, 512).astype(np.float32)
+    h_j = jnp.asarray(np.transpose(h, (0, 2, 3, 1)))
+    emb_j = jnp.asarray(emb)
+
+    for name in names:
+        flavor, tb = family(name)
+        raw = torch.load(os.path.join(CKPT_DIR, name),
+                         map_location="cpu", weights_only=False)
+        tb.load_state_dict(raw["0"])  # raises on key/shape mismatch
+        tb.eval()
+        ours = load_delta_checkpoint(os.path.join(CKPT_DIR, name))["blocks"][0]
+        with torch.no_grad():
+            out_t = tb(torch.from_numpy(h), torch.from_numpy(emb)).numpy()
+        out_j = delta_block_apply(
+            jax.tree.map(jnp.asarray, ours), h_j, emb_j, flavor=flavor
+        )
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(out_j), (0, 3, 1, 2)), out_t,
+            rtol=1e-4, atol=1e-5, err_msg=name,
+        )
+
+
 def test_delta_rows_roundtrip(tmp_path):
     rows = {516: np.random.RandomState(0).randn(8, 8, 512).astype(np.float32)}
     p = str(tmp_path / "rows.pth")
