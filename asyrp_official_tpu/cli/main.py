@@ -367,17 +367,21 @@ def main(argv=None):
         base = os.path.basename(args.sh_file_name).split(".")[0]
         shutil.copy(args.sh_file_name, os.path.join(args.exp, f"{base}_{mode}.sh"))
 
-    if getattr(args, "align_face", 0):
-        align_dataset_dirs(args)
-
-    from asyrp_official_tpu.runner import AsyrpRunner
-
-    clip_ctx, id_params, lpips_params = build_contexts(args)
-    runner = AsyrpRunner(
-        args, config, clip_ctx=clip_ctx, id_params=id_params,
-        lpips_params=lpips_params, work_dir=args.work_dir,
-    )
     try:
+        # setup failures (mesh/flag validation in AsyrpRunner.__init__,
+        # loss-context weights, alignment) follow the same loud-failure
+        # convention as the dispatch below: logged exception, rc 1 — the
+        # reference's equivalents are bare asserts/crashes (main.py:327)
+        if getattr(args, "align_face", 0):
+            align_dataset_dirs(args)
+
+        from asyrp_official_tpu.runner import AsyrpRunner
+
+        clip_ctx, id_params, lpips_params = build_contexts(args)
+        runner = AsyrpRunner(
+            args, config, clip_ctx=clip_ctx, id_params=id_params,
+            lpips_params=lpips_params, work_dir=args.work_dir,
+        )
         if args.run_train or args.just_precompute:
             runner.run_training()
         elif args.run_test:

@@ -758,6 +758,13 @@ class AsyrpRunner:
                 if getattr(a, "save_process_delta_h", False):
                     self._dump_process(ys, seq, folder, file_name, "delta_h", n_real)
 
+        if not rows:
+            raise ValueError(
+                "nothing to draw: --pass_editing (or edit=None) with neither "
+                "--save_x0 nor --save_x_origin leaves zero grid rows — the "
+                "reference crashes on the same combination (torch.cat over an "
+                "empty x_list, diffusion_latent.py:539)"
+            )
         grid = np.concatenate(rows, axis=0)
         out = os.path.join(folder, f"{file_name}_ngen{a.n_train_step}.png")
         save_image(grid, out, nrow=max(1, x_lat.shape[0]), pm1=True)

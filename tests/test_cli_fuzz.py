@@ -1,0 +1,121 @@
+"""Deterministic cross-flag fuzz of the run_test product surface.
+
+The 10th review pass found cross-mode bugs by *manual* enumeration
+(do_train gate, target-id batching, harvest accumulation); this file
+mechanizes that lens: hypothesis (derandomized — the example set is fixed
+and reproducible) drives the real CLI over combinations of test-time
+flags that the hand-written tests only cover one-at-a-time, asserting the
+run succeeds and writes well-formed grids. Train once; fuzz decode-time
+behavior against the shared checkpoint, mirroring how a reference user
+sweeps flags against one trained Δ (diffusion_latent.py:547-874).
+"""
+import os
+import shutil
+
+import numpy as np
+import pytest
+from PIL import Image
+from hypothesis import HealthCheck, assume, given, settings
+from hypothesis import strategies as st
+
+from asyrp_official_tpu.cli.main import main as cli_main
+from asyrp_official_tpu.utils.tinyws import tiny_base_argv, write_tiny_workspace
+
+
+@pytest.fixture(scope="module")
+def ws(tmp_path_factory):
+    ws = tmp_path_factory.mktemp("wsfuzz")
+    write_tiny_workspace(str(ws))
+    rc = cli_main(_args(ws, ["--run_train", "--train_delta_block",
+                             "--do_test", "0"]))
+    assert rc == 0
+    return ws
+
+
+def _args(ws, extra):
+    return tiny_base_argv(
+        str(ws / "tiny.yml"), str(ws / "imgs"), str(ws / "w"),
+        str(ws / "w" / "runs" / "e"), extra=extra,
+    )
+
+
+# each dimension is a list of argv fragments; later --flag repeats
+# override the base argv (argparse last-wins)
+# --pass_editing carries --save_x_origin: with no origin row it is the
+# reference's own crash case (torch.cat over an empty x_list, :539) —
+# covered separately in test_pass_editing_without_rows_fails_loudly
+MODE = [[], ["--delta_interpolation", "--num_delta", "2"],
+        ["--pass_editing", "--save_x_origin"]]
+BATCH = [["--bs_train", "1"], []]  # base is 2
+STEPS = [[], ["--n_test_step", "3"]]
+NOISE = [[], ["--eta", "0.5"], ["--sample_type", "ddpm"]]
+SCALE = [[], ["--hs_coeff_delta_h", "0.5"]]
+SAVES = [[], ["--save_x_origin", "--save_x0"],
+         ["--save_x_origin", "--save_process_origin", "--save_process_delta_h"]]
+MESH = [[], ["--dp", "2"]]
+
+
+@settings(max_examples=12, derandomize=True, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(mode=st.sampled_from(MODE), batch=st.sampled_from(BATCH),
+       steps=st.sampled_from(STEPS), noise=st.sampled_from(NOISE),
+       scale=st.sampled_from(SCALE), saves=st.sampled_from(SAVES),
+       mesh=st.sampled_from(MESH))
+def test_run_test_flag_combinations(ws, mode, batch, steps, noise, scale,
+                                    saves, mesh):
+    # bs_train must divide over the mesh — the reference's own assert
+    # (main.py:327 `bs_train % n_gpus == 0`); pinned separately below
+    assume(not (batch and mesh))
+    # the exp dir carries the reference's LC naming suffix
+    # ({exp}_LC_{category}_t{t0}_...) — wipe/collect grids across the
+    # whole work tree, like test_runner_dp does
+    root = ws / "w" / "runs"
+    for r, ds, _ in os.walk(root):
+        for d in list(ds):
+            if d == "test_images":
+                shutil.rmtree(os.path.join(r, d), ignore_errors=True)
+    extra = (["--run_test", "--train_delta_block"]
+             + mode + batch + steps + noise + scale + saves + mesh)
+    rc = cli_main(_args(ws, extra))
+    assert rc == 0, f"run_test failed under {extra}"
+
+    grids = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(root) for f in fs if f.endswith(".png")
+    )
+    assert grids, f"no grids written under {extra}"
+    for p in grids:
+        a = np.asarray(Image.open(p))
+        assert a.dtype == np.uint8 and a.ndim == 3, (p, a.dtype, a.shape)
+        # make_grid geometry: k 32-px panels + 1-px padding = 33k + 1
+        assert a.shape[0] % 33 == 1 and a.shape[1] % 33 == 1, (p, a.shape)
+        # a constant/black panel means a decode collapsed under the combo
+        assert a.std() > 1.0, (p, extra)
+
+
+def test_bs_not_divisible_by_dp_fails_loudly(ws, caplog):
+    """bs_train % dp != 0 is the reference's own hard assert
+    (main.py:327 `bs_train % len(gpus) == 0`): loud error, not silent
+    padding surprises."""
+    rc = cli_main(_args(ws, ["--run_test", "--train_delta_block",
+                             "--bs_train", "1", "--dp", "2"]))
+    assert rc == 1
+    errs = [r for r in caplog.records if r.exc_info]
+    assert errs, "cli_main returned 1 but logged no exception"
+    err = errs[-1].exc_info[1]
+    assert isinstance(err, ValueError)
+    assert "bs_train" in str(err) and "--dp" in str(err)
+
+
+def test_pass_editing_without_rows_fails_loudly(ws, caplog):
+    """--pass_editing with no origin/x0 rows is the reference's own crash
+    case (torch.cat over an empty x_list, diffusion_latent.py:539); ours
+    must fail with an explanation, not a bare numpy error."""
+    rc = cli_main(_args(ws, ["--run_test", "--train_delta_block",
+                             "--pass_editing"]))
+    assert rc == 1
+    errs = [r for r in caplog.records if r.exc_info]
+    assert errs, "cli_main returned 1 but logged no exception"
+    err = errs[-1].exc_info[1]
+    assert isinstance(err, ValueError)
+    assert "pass_editing" in str(err) and "save_x_origin" in str(err)
