@@ -93,6 +93,62 @@ def test_run_test_flag_combinations(ws, mode, batch, steps, noise, scale,
         assert a.std() > 1.0, (p, extra)
 
 
+# --- training-surface fuzz -------------------------------------------
+# train-time dimensions the hand-written tests cover one-at-a-time
+# (reference training block diffusion_latent.py:237-441)
+T_MODE = [["--train_delta_block"],
+          ["--train_delta_block", "--get_h_num", "2"],
+          ["--train_delta_h"],
+          ["--train_delta_h", "--ignore_timesteps"]]
+T_SAVES = [[], ["--save_checkpoint_during_iter", "--save_checkpoint_step", "1"],
+           ["--save_train_image", "--save_train_image_step", "1"]]
+T_ITER = [[], ["--n_iter", "2", "--save_checkpoint_only_last_iter"]]
+T_SCHED = [[], ["--scheduler_step_size", "1", "--sch_gamma", "0.5"]]
+T_MESH = [[], ["--dp", "2"]]
+
+
+@settings(max_examples=8, derandomize=True, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(mode=st.sampled_from(T_MODE), saves=st.sampled_from(T_SAVES),
+       iters=st.sampled_from(T_ITER), sched=st.sampled_from(T_SCHED),
+       mesh=st.sampled_from(T_MESH))
+def test_run_train_flag_combinations(ws, mode, saves, iters, sched, mesh):
+    from asyrp_official_tpu.compat.delta_ckpt import load_delta_checkpoint
+
+    extra = (["--run_train", "--do_test", "0"]
+             + mode + saves + iters + sched + mesh)
+    # fresh work dir per combination: the retrain gate would otherwise
+    # skip training when a previous example's checkpoint name collides
+    work = "t_" + "_".join(extra).replace("--", "").replace("/", "")
+    rc = cli_main(tiny_base_argv(
+        str(ws / "tiny.yml"), str(ws / "imgs"), str(ws / work),
+        str(ws / work / "runs" / "e"), extra=extra,
+    ))
+    assert rc == 0, f"run_train failed under {extra}"
+
+    ckdir = ws / work / "checkpoint"
+    n_final = int(iters[1]) if iters else 1
+    pths = sorted(f for f in os.listdir(ckdir) if f.endswith(".pth"))
+    # main per-iteration checkpoints are {exp_id}_{it}.pth (the LC-suffixed
+    # exp name); mid-iteration saves carry an extra counter ({it}_{k}.pth)
+    # and legitimately survive --save_checkpoint_only_last_iter (the
+    # reference removes only {exp_id}_{it-1}.pth, diffusion_latent.py:410)
+    main = f"e_LC_CUSTOM_t999_ninv4_ngen4_{n_final - 1}.pth"
+    assert main in pths, (pths, extra)
+    if iters:  # --save_checkpoint_only_last_iter removed iteration 0's MAIN
+        assert "e_LC_CUSTOM_t999_ninv4_ngen4_0.pth" not in pths, (pths, extra)
+    loaded = load_delta_checkpoint(str(ckdir / main))
+    key = "blocks" if "--train_delta_block" in extra else "delta_rows"
+    assert key in loaded, (sorted(loaded), extra)
+    if "--get_h_num" in extra:  # untrained extras saved alongside layer_0
+        assert len(loaded["blocks"]) == 2
+    if "--save_train_image" in extra:
+        imgs = ws / work / "runs"
+        train_pngs = [f for r, _, fs in os.walk(imgs) for f in fs
+                      if f.startswith("train_") and f.endswith(".png")]
+        assert train_pngs, f"--save_train_image wrote nothing under {extra}"
+
+
 def test_bs_not_divisible_by_dp_fails_loudly(ws, caplog):
     """bs_train % dp != 0 is the reference's own hard assert
     (main.py:327 `bs_train % len(gpus) == 0`): loud error, not silent
