@@ -149,6 +149,54 @@ def test_run_train_flag_combinations(ws, mode, saves, iters, sched, mesh):
         assert train_pngs, f"--save_train_image wrote nothing under {extra}"
 
 
+# --- DiffStyle-surface fuzz ------------------------------------------
+# the style path's tunables (runner.run_style_transfer: hs_coeff,
+# n_gen_step, content_replace_step, use_mask, dt_lambda, mesh, bf16)
+S_COEFF = [[], ["--hs_coeff", "0.5"]]
+S_GEN = [[], ["--n_gen_step", "3"]]
+S_REPL = [[], ["--content_replace_step", "1"]]
+S_MASK = [[], ["--use_mask"]]
+S_DT = [[], ["--dt_lambda", "0.99", "--dt_end", "2"]]
+S_MESH = [[], ["--dp", "2"], ["--bf16"]]
+
+
+@pytest.fixture(scope="module")
+def style_dirs(ws):
+    rng = np.random.RandomState(7)
+    for sub in ("contents", "styles"):
+        (ws / sub).mkdir(exist_ok=True)
+        for i in range(2):
+            Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8)).save(
+                ws / sub / f"{i}.png"
+            )
+    return ws / "contents", ws / "styles"
+
+
+@settings(max_examples=8, derandomize=True, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(coeff=st.sampled_from(S_COEFF), gen=st.sampled_from(S_GEN),
+       repl=st.sampled_from(S_REPL), mask=st.sampled_from(S_MASK),
+       dt=st.sampled_from(S_DT), mesh=st.sampled_from(S_MESH))
+def test_diff_style_flag_combinations(ws, style_dirs, coeff, gen, repl,
+                                      mask, dt, mesh):
+    contents, styles = style_dirs
+    extra = coeff + gen + repl + mask + dt + mesh
+    save = ws / ("s_" + "_".join(extra).replace("--", "") if extra else "s_base")
+    rc = cli_main(_args(ws, ["--diff_style",
+                             "--content_dir", str(contents),
+                             "--style_dir", str(styles),
+                             "--save_dir", str(save)] + extra))
+    assert rc == 0, f"diff_style failed under {extra}"
+    outs = sorted(os.listdir(save))
+    # one stylized image per content x style pair
+    assert outs == sorted(f"content{c}_style{s}.png" for s in range(2)
+                          for c in range(2)), (outs, extra)
+    for f in outs:
+        a = np.asarray(Image.open(save / f))
+        assert a.dtype == np.uint8 and a.shape[0] >= 32, (f, a.shape)
+        assert a.std() > 1.0, (f, extra)
+
+
 def test_bs_not_divisible_by_dp_fails_loudly(ws, caplog):
     """bs_train % dp != 0 is the reference's own hard assert
     (main.py:327 `bs_train % len(gpus) == 0`): loud error, not silent
