@@ -1,0 +1,253 @@
+"""Product-surface coverage for dispatched CLI flags no other test
+exercises: real-weights loading (--model_path / --download_weights),
+provenance copy, prompt overrides, origin-row knobs, training-loop
+gating flags, and precompute image dumps.
+
+Each test pins the behavior against the reference's (cited inline).
+"""
+import logging
+import os
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from asyrp_official_tpu.cli.main import build_parser, main as cli_main
+from asyrp_official_tpu.utils.tinyws import tiny_base_argv, write_tiny_workspace
+
+
+@pytest.fixture(scope="module")
+def ws(tmp_path_factory):
+    ws = tmp_path_factory.mktemp("wscorner")
+    write_tiny_workspace(str(ws))
+    return ws
+
+
+def _args(ws, work, extra, **kw):
+    return tiny_base_argv(
+        str(ws / "tiny.yml"), str(ws / "imgs"), str(ws / work),
+        str(ws / work / "runs" / "e"), extra=extra, **kw,
+    )
+
+
+def _tiny_torch_sd(reference_path):
+    """A torch state_dict matching the tiny workspace architecture
+    (ddpmpp ch=32, mult 1,2, 1 res block — tinyws.TINY_DDPMPP_CONFIG)."""
+    import torch
+
+    from models.ddpm.diffusion import DDPM
+
+    config = SimpleNamespace(
+        model=SimpleNamespace(
+            ch=32, out_ch=3, ch_mult=[1, 2], num_res_blocks=1,
+            attn_resolutions=[16], dropout=0.0, in_channels=3,
+            resamp_with_conv=True,
+        ),
+        data=SimpleNamespace(image_size=32),
+    )
+    torch.manual_seed(0)
+    return DDPM(config).state_dict()
+
+
+def _grids(root):
+    return sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(root)
+        for f in fs if f.endswith(".png") and "test_" in f
+    )
+
+
+def test_model_path_loads_real_torch_ckpt(ws, reference_path, caplog):
+    """--model_path with an actual torch .pth drives the FULL product
+    conversion path (load_state_dict_numpy -> spec.params_from_torch),
+    the reference's load_pretrained_model (diffusion_latent.py:76-126) —
+    no --allow_random_weights involved."""
+    import torch
+
+    ckpt = ws / "tiny_base.pth"
+    torch.save(_tiny_torch_sd(reference_path), ckpt)
+    with caplog.at_level(logging.INFO):
+        rc = cli_main(_args(ws, "mp", ["--run_train", "--train_delta_block",
+                                       "--do_test", "0",
+                                       "--model_path", str(ckpt)],
+                            allow_random_weights=False))
+    assert rc == 0
+    assert any("loaded pretrained diffusion model" in r.message
+               for r in caplog.records)
+
+
+def test_download_weights_fetches_and_loads(ws, reference_path, monkeypatch,
+                                            caplog):
+    """--download_weights without --model_path fetches the registry URL
+    into {work}/pretrained/ and loads it — the reference's unconditional
+    auto-download (diffusion_latent.py:81-106), gated here for zero-egress
+    hosts. The fetch itself is served from a local torch ckpt via a
+    monkeypatched urlopen, so the REAL download_url + conversion run."""
+    import io
+    import urllib.request
+
+    import torch
+
+    buf = io.BytesIO()
+    torch.save(_tiny_torch_sd(reference_path), buf)
+    payload = buf.getvalue()
+
+    class _Resp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    seen = {}
+
+    def fake_urlopen(url, timeout=None):
+        seen["url"] = url
+        return _Resp(payload)
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    with caplog.at_level(logging.INFO):
+        rc = cli_main(_args(ws, "dl", ["--run_train", "--train_delta_block",
+                                       "--do_test", "0", "--download_weights"],
+                            allow_random_weights=False))
+    assert rc == 0
+    assert seen["url"].startswith("http")
+    dest = ws / "dl" / "pretrained"
+    files = os.listdir(dest)
+    assert files and files[0] == os.path.basename(seen["url"])
+    assert any("downloaded pretrained diffusion model" in r.message
+               for r in caplog.records)
+
+
+def test_sh_file_provenance_copy(ws):
+    """--sh_file_name copies the invoking script into the exp dir as
+    {base}_{mode}.sh (reference main.py:255-261)."""
+    sh = ws / "script_test.sh"
+    sh.write_text("#!/bin/sh\necho hi\n")
+    rc = cli_main(_args(ws, "sh", ["--run_train", "--train_delta_block",
+                                   "--do_test", "0", "--just_precompute",
+                                   "--sh_file_name", str(sh)]))
+    assert rc == 0
+    exp = ws / "sh" / "runs" / "e_LC_CUSTOM_t999_ninv4_ngen4"
+    assert (exp / "script_test_train.sh").read_text() == sh.read_text()
+
+
+def test_src_trg_txts_override(ws):
+    """Without --edit_attr, prompts come straight from --src_txts/--trg_txts
+    (reference diffusion_latent.py:66-73)."""
+    from asyrp_official_tpu.cli.main import load_config
+    from asyrp_official_tpu.runner import AsyrpRunner
+
+    argv = _args(ws, "txt", ["--run_train", "--src_txts", "a face", "faces",
+                             "--trg_txts", "a smiling face", "smiles"],
+                 edit_attr=None)
+    args = build_parser().parse_args(argv)
+    runner = AsyrpRunner(args, load_config(args.config),
+                         work_dir=args.work_dir)
+    assert runner.src_txts == ["a face", "faces"]
+    assert runner.trg_txts == ["a smiling face", "smiles"]
+
+
+def test_hs_coeff_origin_h_changes_output(ws):
+    """--hs_coeff_origin_h scales the ORIGINAL-h coefficient of the edited
+    forward (reference main.py:173, used at diffusion_latent.py:618-625);
+    halving it must change the edited decode."""
+    base = ["--run_train", "--train_delta_block", "--do_test", "0"]
+    rc = cli_main(_args(ws, "oh", base))
+    assert rc == 0
+    test = ["--run_test", "--train_delta_block"]
+    rc = cli_main(_args(ws, "oh", test))
+    assert rc == 0
+    a_grids = {os.path.basename(p): np.asarray(Image.open(p), np.int16)
+               for p in _grids(ws / "oh")}
+    for p in _grids(ws / "oh"):
+        os.remove(p)
+    rc = cli_main(_args(ws, "oh", test + ["--hs_coeff_origin_h", "0.5"]))
+    assert rc == 0
+    b_grids = {os.path.basename(p): np.asarray(Image.open(p), np.int16)
+               for p in _grids(ws / "oh")}
+    assert sorted(a_grids) == sorted(b_grids) and a_grids
+    diff = max(np.abs(a_grids[k] - b_grids[k]).max() for k in a_grids)
+    assert diff > 2, "halving hs_coeff_origin_h left the decode unchanged"
+
+
+def test_origin_process_addnoise_changes_origin_row(ws):
+    """--origin_process_addnoise turns on the eta=1 boost window for the
+    ORIGIN (un-edited) decode row too (reference save_image eta selection,
+    diffusion_latent.py:472-476)."""
+    base = ["--run_train", "--train_delta_block", "--do_test", "0"]
+    rc = cli_main(_args(ws, "opa", base))
+    assert rc == 0
+    # t_addnoise=700 puts 3 of the 4 uniform steps (t=0,250,500) in the
+    # boost window so the injected noise is visible
+    test = ["--run_test", "--train_delta_block", "--pass_editing",
+            "--save_x_origin", "--user_defined_t_addnoise", "700"]
+    rc = cli_main(_args(ws, "opa", test))
+    assert rc == 0
+    a = {os.path.basename(p): np.asarray(Image.open(p), np.int16)
+         for p in _grids(ws / "opa")}
+    for p in _grids(ws / "opa"):
+        os.remove(p)
+    rc = cli_main(_args(ws, "opa", test + ["--origin_process_addnoise"]))
+    assert rc == 0
+    b = {os.path.basename(p): np.asarray(Image.open(p), np.int16)
+         for p in _grids(ws / "opa")}
+    assert sorted(a) == sorted(b) and a
+    diff = max(np.abs(a[k] - b[k]).max() for k in a)
+    assert diff > 2, "origin_process_addnoise left the origin row unchanged"
+
+
+def test_save_train_image_iter_gating(ws):
+    """--save_train_image_iter N saves training grids only on iterations
+    where it_out % N == 0 (reference diffusion_latent.py:358-365)."""
+    rc = cli_main(_args(ws, "sti", [
+        "--run_train", "--train_delta_block", "--do_test", "0",
+        "--n_iter", "2", "--save_train_image", "--save_train_image_step", "1",
+        "--save_train_image_iter", "2",
+    ]))
+    assert rc == 0
+    pngs = [f for r, _, fs in os.walk(ws / "sti" / "runs") for f in fs
+            if f.startswith("train_") and f.endswith(".png")]
+    assert pngs, "iteration 0 should have saved training images"
+    assert all(f.split("_")[2] == "0" for f in pngs), pngs  # train_{i}_{it}
+
+
+def test_start_iter_when_you_use_pretrained(ws):
+    """--start_iter_when_you_use_pretrained skips the first iterations of
+    the training loop (reference diffusion_latent.py:229): only the later
+    main checkpoints are produced."""
+    rc = cli_main(_args(ws, "sip", [
+        "--run_train", "--train_delta_block", "--do_test", "0",
+        "--n_iter", "2", "--start_iter_when_you_use_pretrained", "1",
+    ]))
+    assert rc == 0
+    pths = sorted(f for f in os.listdir(ws / "sip" / "checkpoint")
+                  if f.endswith(".pth"))
+    assert "e_LC_CUSTOM_t999_ninv4_ngen4_1.pth" in pths
+    assert "e_LC_CUSTOM_t999_ninv4_ngen4_0.pth" not in pths
+
+
+def test_save_precomputed_images(ws):
+    """--save_precomputed_images dumps the source/reconstruction pair per
+    precomputed image (reference precompute_pairs,
+    diffusion_latent.py:1006-1010)."""
+    rc = cli_main(_args(ws, "spi", [
+        "--run_train", "--train_delta_block", "--just_precompute",
+        "--save_precomputed_images",
+    ]))
+    assert rc == 0
+    pngs = [os.path.join(r, f)
+            for r, _, fs in os.walk(ws / "spi") for f in fs
+            if f.endswith(".png")]
+    assert pngs, "no precomputed image dumps written"
+
+
+def test_verbose_level_accepted(ws):
+    """--verbose debug parses and runs (reference main.py:141 passes the
+    string to its logging setup)."""
+    rc = cli_main(_args(ws, "vb", ["--run_train", "--train_delta_block",
+                                   "--just_precompute", "--verbose", "debug"]))
+    assert rc == 0
