@@ -341,6 +341,77 @@ def test_id_loss_training_wiring(ws, monkeypatch):
     assert all(a == b and len(a) == 4 for a, b in calls)
 
 
+def _tiny_openai_clip_sd():
+    """A synthetic OpenAI-`clip`-layout state_dict small enough for CPU:
+    32-res/patch-8 ViT, width 64 (1 head), text width 64, vocab 100 —
+    config_from_torch infers all dims from the shapes."""
+    r = np.random.RandomState(0)
+
+    def n(*s):
+        return (r.randn(*s) * 0.02).astype(np.float32)
+
+    def block(p, w):
+        return {
+            f"{p}.ln_1.weight": np.ones(w, np.float32),
+            f"{p}.ln_1.bias": n(w),
+            f"{p}.attn.in_proj_weight": n(3 * w, w),
+            f"{p}.attn.in_proj_bias": n(3 * w),
+            f"{p}.attn.out_proj.weight": n(w, w),
+            f"{p}.attn.out_proj.bias": n(w),
+            f"{p}.ln_2.weight": np.ones(w, np.float32),
+            f"{p}.ln_2.bias": n(w),
+            f"{p}.mlp.c_fc.weight": n(4 * w, w),
+            f"{p}.mlp.c_fc.bias": n(4 * w),
+            f"{p}.mlp.c_proj.weight": n(w, 4 * w),
+            f"{p}.mlp.c_proj.bias": n(w),
+        }
+
+    vw, tw, embed, vocab, ctx_len = 64, 64, 32, 100, 16
+    sd = {
+        "visual.conv1.weight": n(vw, 3, 8, 8),
+        "visual.class_embedding": n(vw),
+        "visual.positional_embedding": n(17, vw),  # 4x4 grid + cls
+        "visual.ln_pre.weight": np.ones(vw, np.float32),
+        "visual.ln_pre.bias": n(vw),
+        "visual.ln_post.weight": np.ones(vw, np.float32),
+        "visual.ln_post.bias": n(vw),
+        "visual.proj": n(vw, embed),
+        "token_embedding.weight": n(vocab, tw),
+        "positional_embedding": n(ctx_len, tw),
+        "ln_final.weight": np.ones(tw, np.float32),
+        "ln_final.bias": n(tw),
+        "text_projection": n(tw, embed),
+        "logit_scale": np.float32(2.6592),
+    }
+    for i in range(2):
+        sd.update(block(f"visual.transformer.resblocks.{i}", vw))
+        sd.update(block(f"transformer.resblocks.{i}", tw))
+    return sd
+
+
+def test_clip_ckpt_training_through_cli(ws, caplog):
+    """--clip_ckpt + --clip_loss_w trains with a REAL (random, tiny) CLIP
+    tower through the product surface: build_contexts converts the
+    OpenAI-layout state_dict, set_interval computes the text cosine, and
+    train_clip_term contributes the directional loss (reference
+    losses/clip_loss.py:35, diffusion_latent.py:343,351)."""
+    import torch
+
+    ckpt = ws / "tiny_clip.pth"
+    torch.save({k: torch.from_numpy(np.asarray(v))
+                for k, v in _tiny_openai_clip_sd().items()}, ckpt)
+    with caplog.at_level(logging.INFO):
+        rc = cli_main(_args(ws, "clipw", [
+            "--run_train", "--train_delta_block", "--do_test", "0",
+            "--clip_ckpt", str(ckpt), "--clip_loss_w", "1",
+        ]))
+    assert rc == 0
+    # the cosine log line proves the text tower actually ran
+    assert any("cosine=" in r.getMessage() for r in caplog.records)
+    assert any(f.endswith("_0.pth")
+               for f in os.listdir(ws / "clipw" / "checkpoint"))
+
+
 def test_verbose_level_accepted(ws):
     """--verbose debug parses and runs (reference main.py:141 passes the
     string to its logging setup)."""
