@@ -412,6 +412,54 @@ def test_clip_ckpt_training_through_cli(ws, caplog):
                for f in os.listdir(ws / "clipw" / "checkpoint"))
 
 
+def test_lpips_mode_through_cli(ws):
+    """--lpips (the calibration stage, reference compute_lpips_distance
+    diffusion_latent.py:1190-1303) end-to-end through the CLI with real
+    (random) AlexNet+lin weights supplied via --lpips_ckpt: inverts the
+    train images, computes the per-timestep curves, writes the tsv tables
+    interval selection consumes."""
+    import numpy as np
+
+    from asyrp_official_tpu.losses import lpips_jax
+
+    r = np.random.RandomState(0)
+    idx = [0, 3, 6, 8, 10]
+    chans = [(3, 64, 11), (64, 192, 5), (192, 384, 3), (384, 256, 3),
+             (256, 256, 3)]
+    alex_sd = {}
+    for j, (cin, cout, k) in zip(idx, chans):
+        alex_sd[f"features.{j}.weight"] = (
+            r.randn(cout, cin, k, k).astype(np.float32) * 0.05
+        )
+        alex_sd[f"features.{j}.bias"] = r.randn(cout).astype(np.float32) * 0.05
+    lin_sd = {
+        f"lin{i}.model.1.weight": np.abs(
+            r.randn(1, c, 1, 1).astype(np.float32)
+        )
+        for i, c in enumerate([64, 192, 384, 256, 256])
+    }
+    params = lpips_jax.params_from_torch(alex_sd, lin_sd)
+    ck = ws / "lpips_tiny.npz"
+    np.savez(ck, params=np.array(params, dtype=object))
+
+    rc = cli_main(_args(ws, "lp", [
+        "--lpips", "--lpips_ckpt", str(ck),
+        "--custom_dataset_name", "tinyset",
+    ]))
+    assert rc == 0
+    utils_dir = ws / "lp" / "utils"
+    tsvs = sorted(os.listdir(utils_dir))
+    assert any(f.startswith("tinyset") and f.endswith(".tsv") for f in tsvs), tsvs
+    x0t = [f for f in tsvs if "LPIPS_distance_x0_t" in f]
+    assert x0t, tsvs
+    # the written curve must round-trip through the interval-stage loader
+    from asyrp_official_tpu.utils.assets import load_lpips_tsv
+
+    curve = load_lpips_tsv(str(utils_dir / x0t[0]))
+    vals = np.asarray(list(curve.values()), np.float64)
+    assert vals.size and np.isfinite(vals).all()
+
+
 def test_verbose_level_accepted(ws):
     """--verbose debug parses and runs (reference main.py:141 passes the
     string to its logging setup)."""
