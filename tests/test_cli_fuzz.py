@@ -47,8 +47,10 @@ def _args(ws, extra):
 MODE = [[], ["--delta_interpolation", "--num_delta", "2"],
         ["--pass_editing", "--save_x_origin"]]
 BATCH = [["--bs_train", "1"], []]  # base is 2
-STEPS = [[], ["--n_test_step", "3"]]
-NOISE = [[], ["--eta", "0.5"], ["--sample_type", "ddpm"]]
+STEPS = [[], ["--n_test_step", "3"], ["--n_test_step", "1"]]  # 1 = single-step decode
+NOISE = [[], ["--eta", "0.5"],
+         ["--eta", "1.0", "--user_defined_t_addnoise", "700"],  # boost covers 3/4 steps
+         ["--sample_type", "ddpm"]]
 SCALE = [[], ["--hs_coeff_delta_h", "0.5"]]
 SAVES = [[], ["--save_x_origin", "--save_x0"],
          ["--save_x_origin", "--save_process_origin", "--save_process_delta_h"]]
