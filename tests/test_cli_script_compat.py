@@ -45,3 +45,29 @@ def test_reference_script_flags_parse(script):
         assert args.run_train and args.train_delta_block
     if "--lpips " in " ".join(argv) + " ":
         assert args.lpips
+
+
+REPO_SCRIPTS = sorted(
+    os.path.join(os.path.dirname(__file__), "..", "scripts", f)
+    for f in os.listdir(
+        os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    if f.endswith(".sh")
+)
+
+
+@pytest.mark.parametrize("script", REPO_SCRIPTS,
+                         ids=[os.path.basename(s) for s in REPO_SCRIPTS])
+def test_repo_script_flags_parse(script):
+    """Our own shipped scripts/*.sh (TPU ports of the reference's four
+    workflows) must stay parseable — same doc-rot discipline as the
+    reference scripts above and README (test_doc_snippets.py)."""
+    argv = _extract_args(script)
+    args = build_parser().parse_args(argv)
+    assert args.config
+    name = os.path.basename(script)
+    if name == "script_get_lpips.sh":
+        assert args.lpips and args.lpips_ckpt
+    else:
+        assert args.run_train or args.run_test
+        assert args.model_path  # real-weights path, not --allow_random_weights
