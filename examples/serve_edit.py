@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--t_edit", type=int, default=513)
     ap.add_argument("--t_addnoise", type=int, default=167)
     ap.add_argument("--demo", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="32px two-level demo model (CI-runnable recipe check)")
     ap.add_argument("--export", metavar="PATH",
                     help="serialize the serving program to PATH and exit")
     ap.add_argument("--load", metavar="PATH",
@@ -55,7 +57,13 @@ def main():
     from asyrp_official_tpu.parallel.packing import PackedSpec
 
     dev = jax.devices()[0]
-    spec0 = asyrp.resolve("CelebA_HQ")
+    if args.tiny:
+        from asyrp_official_tpu.runner import spec_from_config
+        from asyrp_official_tpu.utils.tinyws import TINY_DDPMPP_CONFIG
+
+        spec0 = spec_from_config(TINY_DDPMPP_CONFIG)
+    else:
+        spec0 = asyrp.resolve("CelebA_HQ")
 
     if args.model_path:
         from asyrp_official_tpu.compat.torch_convert import load_state_dict_numpy

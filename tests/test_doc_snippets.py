@@ -141,6 +141,31 @@ def test_readme_snippet_spec_methods_exist():
         assert hasattr(spec, attr), f"README uses spec.{attr}"
 
 
+def test_serve_edit_example_runs(tmp_path, monkeypatch):
+    """The documented serving recipe (examples/serve_edit.py) must stay
+    executable, not just present: run its demo in-process at --tiny size
+    and check the edited outputs land."""
+    import importlib.util
+
+    import numpy as np
+    from PIL import Image
+
+    path = REPO / "examples" / "serve_edit.py"
+    spec = importlib.util.spec_from_file_location("serve_edit_demo", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = tmp_path / "out"
+    monkeypatch.setattr("sys.argv", [
+        "serve_edit.py", "--demo", "--tiny", "--batch", "2", "--n_step", "4",
+        "--out", str(out),
+    ])
+    mod.main()
+    imgs = sorted(out.glob("edited_*.png"))
+    assert len(imgs) == 2, list(out.iterdir())
+    a = np.asarray(Image.open(imgs[0]))
+    assert a.dtype == np.uint8 and a.shape == (32, 32, 3)
+
+
 def test_migration_api_table_names_exist():
     from asyrp_official_tpu.runner import AsyrpRunner
 
