@@ -340,38 +340,40 @@ def main(argv=None):
         return 0
     args = build_parser().parse_args(argv)
 
-    config = load_config(args.config)
-
-    # exp naming (main.py:235)
-    args.exp = (
-        args.exp
-        + f"_LC_{config['data']['category']}_t{args.t_0}"
-        + f"_ninv{args.n_inv_step}_ngen{args.n_train_step}"
-    )
-
     logging.basicConfig(
         level=getattr(logging, args.verbose.upper(), logging.INFO),
         format="%(levelname)s - %(filename)s - %(asctime)s - %(message)s",
     )
-    random.seed(args.seed)
-    np.random.seed(args.seed)
-
-    os.makedirs(args.exp, exist_ok=True)
-
-    # provenance: copy the invoking shell script into the exp dir
-    # (main.py:255-261)
-    if args.sh_file_name and os.path.exists(args.sh_file_name):
-        import shutil
-
-        mode = "test" if args.run_test else "train" if args.run_train else "run"
-        base = os.path.basename(args.sh_file_name).split(".")[0]
-        shutil.copy(args.sh_file_name, os.path.join(args.exp, f"{base}_{mode}.sh"))
 
     try:
-        # setup failures (mesh/flag validation in AsyrpRunner.__init__,
-        # loss-context weights, alignment) follow the same loud-failure
-        # convention as the dispatch below: logged exception, rc 1 — the
-        # reference's equivalents are bare asserts/crashes (main.py:327)
+        # everything after argparse follows one loud-failure convention:
+        # logged exception, rc 1 — config loading, setup validation
+        # (mesh/flag checks in AsyrpRunner.__init__, loss-context weights,
+        # alignment) and the dispatch alike. The reference's equivalents
+        # are bare asserts/crashes (main.py:327).
+        config = load_config(args.config)
+
+        # exp naming (main.py:235)
+        args.exp = (
+            args.exp
+            + f"_LC_{config['data']['category']}_t{args.t_0}"
+            + f"_ninv{args.n_inv_step}_ngen{args.n_train_step}"
+        )
+
+        random.seed(args.seed)
+        np.random.seed(args.seed)
+
+        os.makedirs(args.exp, exist_ok=True)
+
+        # provenance: copy the invoking shell script into the exp dir
+        # (main.py:255-261)
+        if args.sh_file_name and os.path.exists(args.sh_file_name):
+            import shutil
+
+            mode = "test" if args.run_test else "train" if args.run_train else "run"
+            base = os.path.basename(args.sh_file_name).split(".")[0]
+            shutil.copy(args.sh_file_name, os.path.join(args.exp, f"{base}_{mode}.sh"))
+
         if getattr(args, "align_face", 0):
             align_dataset_dirs(args)
 

@@ -213,6 +213,17 @@ def test_bs_not_divisible_by_dp_fails_loudly(ws, caplog):
     assert "bs_train" in str(err) and "--dp" in str(err)
 
 
+def test_bad_config_fails_loudly(ws, caplog):
+    """A mistyped --config follows the same convention as every other
+    setup failure: logged exception, rc 1 (not a raw traceback)."""
+    rc = cli_main(["--config", str(ws / "nope.yml"),
+                   "--exp", str(ws / "badcfg"), "--run_test", "--ni"])
+    assert rc == 1
+    errs = [r for r in caplog.records if r.exc_info]
+    assert errs, "cli_main returned 1 but logged no exception"
+    assert "nope.yml" in str(errs[-1].exc_info[1])
+
+
 def test_pass_editing_without_rows_fails_loudly(ws, caplog):
     """--pass_editing with no origin/x0 rows is the reference's own crash
     case (torch.cat over an empty x_list, diffusion_latent.py:539); ours
