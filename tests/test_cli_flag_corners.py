@@ -13,8 +13,6 @@ import numpy as np
 import pytest
 from PIL import Image
 
-import jax
-
 from asyrp_official_tpu.cli.main import build_parser, main as cli_main
 from asyrp_official_tpu.utils.tinyws import tiny_base_argv, write_tiny_workspace
 

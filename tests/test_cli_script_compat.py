@@ -47,27 +47,56 @@ def test_reference_script_flags_parse(script):
         assert args.lpips
 
 
+REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 REPO_SCRIPTS = sorted(
-    os.path.join(os.path.dirname(__file__), "..", "scripts", f)
-    for f in os.listdir(
-        os.path.join(os.path.dirname(__file__), "..", "scripts")
-    )
-    if f.endswith(".sh")
+    f for f in os.listdir(os.path.join(REPO_ROOT, "scripts"))
+    if f.endswith(".sh") and f != "common.sh"
 )
 
 
-@pytest.mark.parametrize("script", REPO_SCRIPTS,
-                         ids=[os.path.basename(s) for s in REPO_SCRIPTS])
-def test_repo_script_flags_parse(script):
-    """Our own shipped scripts/*.sh (TPU ports of the reference's four
-    workflows) must stay parseable — same doc-rot discipline as the
-    reference scripts above and README (test_doc_snippets.py)."""
-    argv = _extract_args(script)
+def _run_script_argv(name, env_extra=None):
+    """EXECUTE a scripts/*.sh with a stub `python` on PATH that captures
+    the argv — the cd/source/flag-assembly logic really runs."""
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        stub = os.path.join(d, "python")
+        with open(stub, "w") as f:
+            f.write('#!/bin/sh\nshift\nfor a in "$@"; do printf "%s\\n" "$a"; done\n')
+        os.chmod(stub, 0o755)
+        env = dict(os.environ, PATH=d + os.pathsep + os.environ["PATH"])
+        env.update(env_extra or {})
+        out = subprocess.run(
+            ["bash", os.path.join(REPO_ROOT, "scripts", name)],
+            capture_output=True, text=True, env=env,
+        )
+        assert out.returncode == 0, (name, out.stderr)
+        return [line for line in out.stdout.splitlines() if line]
+
+
+@pytest.mark.parametrize("name", REPO_SCRIPTS)
+def test_repo_script_flags_parse(name):
+    """Our shipped scripts/*.sh (the reference's four workflows, TPU
+    edition) must execute and produce a parseable argv — same doc-rot
+    discipline as the reference scripts above."""
+    argv = _run_script_argv(name)
     args = build_parser().parse_args(argv)
-    assert args.config
-    name = os.path.basename(script)
-    if name == "script_get_lpips.sh":
+    assert args.config and args.model_path  # real-weights path, no randoms
+    if name == "lpips.sh":
         assert args.lpips and args.lpips_ckpt
-    else:
-        assert args.run_train or args.run_test
-        assert args.model_path  # real-weights path, not --allow_random_weights
+    elif name == "precompute.sh":
+        assert args.run_train and args.just_precompute
+    elif name == "train.sh":
+        assert args.run_train and args.train_delta_block and args.clip_ckpt
+    elif name == "inference.sh":
+        assert args.run_test and args.manual_checkpoint_name
+
+
+def test_repo_script_tpu_knobs():
+    """DP/BF16/TP_SPATIAL env knobs surface the TPU flags."""
+    argv = _run_script_argv(
+        "inference.sh", {"DP": "4", "BF16": "1", "TP_SPATIAL": "1"}
+    )
+    args = build_parser().parse_args(argv)
+    assert args.dp == 4 and args.bf16 and args.tp_spatial
