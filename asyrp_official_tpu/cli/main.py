@@ -87,6 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="no interaction (overwrite folders)")
     add("--sh_file_name", type=str, default="")
     add("--bf16", action="store_true", help="run the UNet in bfloat16")
+    add("--trace_dir", type=str, default=None,
+        help="write a TensorBoard-loadable jax.profiler device-timeline "
+             "trace of the whole run to this directory (the observability "
+             "tier the reference lacks — utils/profiling.trace)")
     add("--work_dir", type=str, default=".")
 
     # multi-chip (the reference's DataParallel analog, integrated in the
@@ -384,19 +388,27 @@ def main(argv=None):
             args, config, clip_ctx=clip_ctx, id_params=id_params,
             lpips_params=lpips_params, work_dir=args.work_dir,
         )
-        if args.run_train or args.just_precompute:
-            runner.run_training()
-        elif args.run_test:
-            runner.run_test()
-        elif args.lpips:
-            runner.run_lpips()
-        elif args.run_fidelity:
-            runner.run_fidelity()
-        elif args.diff_style:
-            runner.run_style_transfer()
-        else:
-            print("nothing to do: pass --run_train / --run_test / --lpips")
-            return 1
+        import contextlib
+
+        trace_ctx = contextlib.nullcontext()
+        if getattr(args, "trace_dir", None):
+            from asyrp_official_tpu.utils.profiling import trace
+
+            trace_ctx = trace(args.trace_dir)
+        with trace_ctx:
+            if args.run_train or args.just_precompute:
+                runner.run_training()
+            elif args.run_test:
+                runner.run_test()
+            elif args.lpips:
+                runner.run_lpips()
+            elif args.run_fidelity:
+                runner.run_fidelity()
+            elif args.diff_style:
+                runner.run_style_transfer()
+            else:
+                print("nothing to do: pass --run_train / --run_test / --lpips")
+                return 1
     except Exception:
         logging.exception("run failed")
         return 1

@@ -458,6 +458,20 @@ def test_lpips_mode_through_cli(ws):
     assert vals.size and np.isfinite(vals).all()
 
 
+def test_trace_dir_writes_profile(ws):
+    """--trace_dir wraps the whole dispatched run in utils/profiling.trace
+    and leaves a TensorBoard-loadable device-timeline trace — the
+    observability tier the reference lacks (SURVEY.md §5)."""
+    trc = ws / "trace_out"
+    rc = cli_main(_args(ws, "trc", ["--run_train", "--train_delta_block",
+                                    "--just_precompute",
+                                    "--trace_dir", str(trc)]))
+    assert rc == 0
+    traces = [os.path.join(r, f) for r, _, fs in os.walk(trc) for f in fs
+              if f.endswith(".xplane.pb")]
+    assert traces, f"no profiler trace written under {trc}"
+
+
 def test_verbose_level_accepted(ws):
     """--verbose debug parses and runs (reference main.py:141 passes the
     string to its logging setup)."""
