@@ -22,7 +22,10 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "batch_spec", "pad_to_multiple"]
+__all__ = [
+    "make_mesh", "shard_batch", "replicate", "batch_spec", "pad_to_multiple",
+    "fetch",
+]
 
 DATA_AXIS = "data"
 
@@ -51,16 +54,48 @@ def replicate_spec(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put_tree(tree, sharding: NamedSharding) -> Any:
+    """device_put on one process; on a multi-process (jax.distributed) mesh,
+    build global arrays from the host copy of the FULL value — every process
+    must hold the same full value (the runner's pipelines are deterministic
+    per-seed, so they do), and each contributes its addressable shards."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def put_leaf(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+    return jax.tree.map(put_leaf, tree)
+
+
 def shard_batch(mesh: Mesh, x) -> Any:
     """Place a [B, ...] array batch-sharded over the data axis.
     B must divide by mesh size (the reference asserts the same for its
     DataParallel batches, main.py:326-327) — use `pad_to_multiple` first."""
-    return jax.device_put(x, batch_spec(mesh))
+    return _put_tree(x, batch_spec(mesh))
 
 
 def replicate(mesh: Mesh, tree) -> Any:
     """Replicate a param pytree onto every device of the mesh."""
-    return jax.device_put(tree, replicate_spec(mesh))
+    return _put_tree(tree, replicate_spec(mesh))
+
+
+def fetch(x) -> np.ndarray:
+    """Host numpy of a device array, multi-process safe. Batch-sharded
+    arrays on a mesh spanning several processes have non-addressable shards
+    (np.asarray raises); `process_allgather` on such an array returns the
+    fully-replicated global value on every host. Fully-replicated or
+    single-process arrays fetch directly."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        if x.is_fully_replicated:
+            return np.asarray(x)
+        from jax.experimental import multihost_utils
+
+        # tiled=True is REQUIRED for global (non-fully-addressable) arrays;
+        # the result is the full global value, replicated on every host
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
 
 
 def pad_to_multiple(x: np.ndarray, m: int):

@@ -98,7 +98,7 @@ class PackedSpec:
             # host-side concat + ONE committed transfer instead of ~450
             # per-leaf device ops (the cost this class exists to avoid)
             return jax.device_put(
-                jnp.asarray(self.packer.pack_numpy(params)), jax.devices()[0]
+                jnp.asarray(self.packer.pack_numpy(params)), jax.local_devices()[0]
             )
         return self.packer.pack(params)
 

@@ -28,10 +28,32 @@ def _ocp():
     return ocp
 
 
+def _flat_save(path: str, state) -> None:
+    """Multi-process fallback: one flat .npz per host, no coordination.
+    orbax's commit protocol (primary_host=0 directory barriers, and the
+    array-metadata store even under primary_host=None) deadlocks when every
+    host writes its OWN work dir; the state here is fully replicated, so a
+    plain flattened-leaves file is lossless. Restored via `like`'s treedef."""
+    leaves = [np.asarray(x) for x in jax.tree.leaves(state)]
+    with open(path, "wb") as f:
+        np.savez(f, *leaves)
+
+
+def _flat_load(path: str, like):
+    d = np.load(path)
+    leaves = [d[f"arr_{i}"] for i in range(len(d.files))]
+    treedef = jax.tree.structure(like)
+    if treedef.num_leaves != len(leaves):
+        raise ValueError(
+            f"flat train-state {path} has {len(leaves)} leaves, "
+            f"restore structure expects {treedef.num_leaves}"
+        )
+    return jax.tree.unflatten(treedef, leaves)
+
+
 def save_train_state(
     path: str, *, trainable, opt_state, it_out: int, extra: Optional[Dict] = None
 ) -> None:
-    ocp = _ocp()
     path = os.path.abspath(path)
     state = {
         "trainable": trainable,
@@ -41,6 +63,10 @@ def save_train_state(
         # structure depend on save-time arguments the loader can't know
         "extra": extra if extra else _EMPTY_EXTRA,
     }
+    if jax.process_count() > 1:
+        _flat_save(path, state)
+        return
+    ocp = _ocp()
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
@@ -53,11 +79,16 @@ def load_train_state(path: str, *, like: Dict[str, Any]) -> Optional[Dict[str, A
     path = os.path.abspath(path)
     if not os.path.exists(path):
         return None
-    ocp = _ocp()
-    ckptr = ocp.StandardCheckpointer()
     like2 = dict(like)
     if "extra" not in like2:
         like2["extra"] = _EMPTY_EXTRA
+    if os.path.isfile(path):  # multi-process flat sidecar
+        try:
+            return _flat_load(path, like2)
+        except ValueError:
+            return _flat_load(path, like)
+    ocp = _ocp()
+    ckptr = ocp.StandardCheckpointer()
     try:
         return ckptr.restore(path, like2)
     except Exception as primary:

@@ -106,7 +106,7 @@ def compute_lpips_distance(
             else:
                 chunk_in = chunk
             x0 = (
-                jax.device_put(jnp.asarray(chunk_in), jax.devices()[0])
+                jax.device_put(jnp.asarray(chunk_in), jax.local_devices()[0])
                 if put is None
                 else put(chunk_in)
             )

@@ -20,6 +20,7 @@ import numpy as np
 
 from asyrp_official_tpu.core.schedule import Schedule, uniform_seq
 from asyrp_official_tpu.models.registry import ModelSpec
+from asyrp_official_tpu.parallel import mesh as pmesh
 from asyrp_official_tpu.pipelines import engine
 
 __all__ = ["pairs_cache_path", "load_pairs_cache", "precompute_pairs", "random_noise_pairs"]
@@ -29,7 +30,7 @@ def _default_put(x) -> jax.Array:
     """Commit a host batch to the default device: uncommitted arrays take
     a ~50x slower dispatch path through the TPU relay (CLAUDE.md); runner
     callers override with mesh-aware `put` callbacks."""
-    return jax.device_put(jnp.asarray(x), jax.devices()[0])
+    return jax.device_put(jnp.asarray(x), jax.local_devices()[0])
 
 
 def pairs_cache_path(
@@ -161,8 +162,8 @@ def precompute_pairs(
         x_lat, _ = invert(params, x0)
         x_rec, _ = generate(params, x_lat, jax.random.PRNGKey(0))
         out["x0"].append(chunk)
-        out["x_rec"].append(np.asarray(x_rec)[:n_real])
-        out["x_lat"].append(np.asarray(x_lat)[:n_real])
+        out["x_rec"].append(pmesh.fetch(x_rec)[:n_real])
+        out["x_lat"].append(pmesh.fetch(x_lat)[:n_real])
 
     pairs = {k: np.concatenate(v)[:n_img] if v else np.zeros((0,)) for k, v in out.items()}
     _save_cache(base, pairs)
@@ -259,7 +260,7 @@ def random_noise_pairs(
         chunk_np = x_lat[ofs : ofs + batch_size]
         chunk = _default_put(chunk_np) if put is None else put(chunk_np)
         x, _ = generate(params, chunk, jax.random.PRNGKey(ofs))
-        recs.append(np.asarray(x)[: chunk_np.shape[0]])
+        recs.append(pmesh.fetch(x)[: chunk_np.shape[0]])
     x_rec = np.concatenate(recs)
     pairs = {"x0": x_rec, "x_rec": x_rec, "x_lat": x_lat}
     _save_cache(base, pairs)

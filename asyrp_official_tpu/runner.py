@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import os
+import time
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -192,7 +193,7 @@ class AsyrpRunner:
         (or height-sharded under --tp_spatial); device-pinned otherwise."""
         x = jnp.asarray(x)
         if self.mesh is None:
-            return jax.device_put(x, jax.devices()[0])
+            return jax.device_put(x, jax.local_devices()[0])
         if self.tp_spatial:
             from asyrp_official_tpu.parallel.spatial import spatial_shard
 
@@ -214,7 +215,7 @@ class AsyrpRunner:
         ~50x slower through the relay (CLAUDE.md), and converted torch
         weights arrive as plain numpy."""
         if self.mesh is None:
-            return jax.device_put(tree, jax.devices()[0])
+            return jax.device_put(tree, jax.local_devices()[0])
         return pmesh.replicate(self.mesh, tree)
 
     # ------------------------------------------------------------------
@@ -259,7 +260,7 @@ class AsyrpRunner:
                 "NOT meaningful edits (pretrained ckpt for this dataset: %s)",
                 PRETRAINED_URLS.get(_route_key(self.config)),
             )
-            with jax.default_device(jax.devices("cpu")[0]):
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
                 params = self.spec.init(jax.random.PRNGKey(self.args.seed))
         else:
             url = PRETRAINED_URLS.get(_route_key(self.config))
@@ -435,7 +436,7 @@ class AsyrpRunner:
         # carry stale SDEdit model sections that spec_from_config ignores
         bottleneck_hw = self.spec.bottleneck_hw
         extra_blocks = ()
-        with jax.default_device(jax.devices("cpu")[0]):
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
             if train_target == "blocks":
                 blocks = tuple(
                     delta_block_init(
@@ -589,13 +590,25 @@ class AsyrpRunner:
             lr = tr.steplr_lr(a.lr_training, it_out, a.scheduler_step_size, a.sch_gamma)
             losses = []
             save_counter = 0
+            batch_ms: List[float] = []
+            # timesteps the optimizer actually edits per batch: every seq
+            # step carries a Δ row in rows mode; blocks gate on t >= t_edit
+            # (core/steptable.generation_table)
+            n_edit_steps = (
+                len(seq_train) if train_target == "rows"
+                else sum(1 for t in seq_train if t >= self.t_edit)
+            ) or 1
             for bi, ofs in enumerate(range(0, len(x_lat_all), a.bs_train)):
                 if x_lat_all[ofs : ofs + a.bs_train].shape[0] != a.bs_train:
                     break  # drop_last semantics
                 xb = self._put(x_lat_all[ofs : ofs + a.bs_train])
                 x0b = self._put(x0_all[ofs : ofs + a.bs_train])
+                t0 = time.perf_counter()
                 edit, opt_state, metrics = step(params, edit, opt_state, xb, x0b, lr)
+                # the float() host fetch is the honest completion barrier
+                # (block_until_ready is a no-op through the TPU relay)
                 losses.append(float(metrics["loss"]))
+                batch_ms.append((time.perf_counter() - t0) * 1e3)
                 # reference checks its counter BEFORE incrementing — saves at
                 # batches 0, step, 2*step ... (diffusion_latent.py:367-381)
                 if a.save_checkpoint_during_iter and bi % a.save_checkpoint_step == 0:
@@ -610,16 +623,33 @@ class AsyrpRunner:
                     and it_out % a.save_train_image_iter == 0
                 ):  # training-time visual checkpoints (diffusion_latent.py:358-365)
                     self.save_grid(
-                        params, edit, np.asarray(xb), seq_test,
+                        params, edit, pmesh.fetch(xb), seq_test,
                         # last-image index, like the reference's
                         # train_{step}_{it_out} at batch-fire time (:364)
                         file_name=f"train_{ofs + a.bs_train - 1}_{it_out}",
                         # --save_to_folder overrides the folder (main.py:292-293)
                         folder=getattr(a, "save_to_folder", None)
                         or self._dir(os.path.join(a.exp, "training_images")),
-                        x0=np.asarray(x0b),
+                        x0=pmesh.fetch(x0b),
                     )
-            log.info("iter %d: mean loss %.4f (lr %.4g)", it_out, float(np.mean(losses or [0.0])), lr)
+            # steady-state batch time excludes the compile-bearing first call
+            # of the program's life (jit cache must stay at 1 — a growing
+            # cache means a signature leak recompiling mid-run, CLAUDE.md)
+            first_iter = it_out == a.start_iter_when_you_use_pretrained
+            steady = sorted(batch_ms[1:] if first_iter and len(batch_ms) > 1 else batch_ms)
+            timing = ""
+            if steady:
+                med = steady[len(steady) // 2]
+                note = " incl. compile" if first_iter and len(batch_ms) == 1 else ""
+                timing = (
+                    f", {med:.0f} ms/batch{note} -> {med / n_edit_steps:.1f} "
+                    f"ms/edit-timestep ({n_edit_steps} edited), "
+                    f"jit cache {step.cache_size()}"
+                )
+            log.info(
+                "iter %d: mean loss %.4f (lr %.4g%s)",
+                it_out, float(np.mean(losses or [0.0])), lr, timing,
+            )
             self._save_delta(edit, save_name, train_target, seq_train, extra_blocks)
             try:
                 from asyrp_official_tpu.pipelines.checkpoint import save_train_state
@@ -710,7 +740,7 @@ class AsyrpRunner:
                 collect=("x", "x0_t") if getattr(a, "save_process_origin", False) else (),
             )
             x, ys = gen(params, x_dev, rng)
-            rows.append(np.asarray(x)[:n_real])
+            rows.append(pmesh.fetch(x)[:n_real])
             if getattr(a, "save_process_origin", False):
                 self._dump_process(ys, seq, folder, file_name, "origin", n_real)
 
@@ -746,14 +776,14 @@ class AsyrpRunner:
                         hs_coeff=self._replicate(jnp.asarray(coeff, jnp.float32)),
                     )
                 x, ys = run(params, e, x_dev, rng)
-                rows.append(np.asarray(x)[:n_real])
+                rows.append(pmesh.fetch(x)[:n_real])
                 if collect_delta:
                     # [S, B, h, w, C], un-padded batch; SUMMED over coeff
                     # passes — the reference accumulates delta_h_dict[t] +=
                     # delta_h inside the per-hs_coeff loop and divides by
                     # the image count only (diffusion_latent.py:528-532,
                     # :811-815)
-                    h_new = np.asarray(ys["delta_h"])[:, :n_real]
+                    h_new = pmesh.fetch(ys["delta_h"])[:, :n_real]
                     harvested = h_new if harvested is None else harvested + h_new
                 if getattr(a, "save_process_delta_h", False):
                     self._dump_process(ys, seq, folder, file_name, "delta_h", n_real)
@@ -798,7 +828,7 @@ class AsyrpRunner:
         out_dir = os.path.join(folder, file_name)
         os.makedirs(out_dir, exist_ok=True)
         ts = generation_table(seq).t
-        xs, x0s = np.asarray(ys["x"])[:, :n_real], np.asarray(ys["x0_t"])[:, :n_real]
+        xs, x0s = pmesh.fetch(ys["x"])[:, :n_real], pmesh.fetch(ys["x0_t"])[:, :n_real]
         for i, t in enumerate(ts):
             frame = np.concatenate([xs[i], x0s[i]], axis=0)
             save_image(
@@ -1130,7 +1160,7 @@ class AsyrpRunner:
         )
         out_dir = self._dir(os.path.join(a.exp, "fidelity"))
         if self.mesh is None:
-            params = jax.device_put(params, jax.devices()[0])
+            params = jax.device_put(params, jax.local_devices()[0])
         edit = self._replicate(edit)
         rng = jax.random.PRNGKey(a.seed)
         n = min(a.n_test_img, len(test_ds))
@@ -1138,7 +1168,7 @@ class AsyrpRunner:
             idxs = list(range(ofs, min(ofs + a.bs_train, n)))
             x0 = np.stack([np.asarray(test_ds[i]) for i in idxs])
             x_dev, n_real = self._put_padded(x0)
-            out = np.asarray(run(params, edit, x_dev, rng))[:n_real]
+            out = pmesh.fetch(run(params, edit, x_dev, rng))[:n_real]
             for k, i in enumerate(idxs):
                 save_image(
                     out[k][None], os.path.join(out_dir, f"test_{i}.png"), pm1=True
@@ -1221,7 +1251,7 @@ class AsyrpRunner:
                     rng=jax.random.PRNGKey(a.seed),
                 )
                 save_image(
-                    np.asarray(stylized[0]),
+                    pmesh.fetch(stylized)[0],
                     os.path.join(out_dir, f"content{ci}_style{si}.png"),
                     pm1=True,
                 )
