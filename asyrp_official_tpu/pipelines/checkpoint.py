@@ -33,10 +33,16 @@ def _flat_save(path: str, state) -> None:
     orbax's commit protocol (primary_host=0 directory barriers, and the
     array-metadata store even under primary_host=None) deadlocks when every
     host writes its OWN work dir; the state here is fully replicated, so a
-    plain flattened-leaves file is lossless. Restored via `like`'s treedef."""
+    plain flattened-leaves file is lossless. Restored via `like`'s treedef.
+
+    Written via per-process temp + atomic rename: on a SHARED filesystem
+    every host targets the same path — the contents are identical (state is
+    replicated), so last-rename-wins leaves a complete file either way."""
     leaves = [np.asarray(x) for x in jax.tree.leaves(state)]
-    with open(path, "wb") as f:
+    tmp = f"{path}.tmp.p{jax.process_index()}"
+    with open(tmp, "wb") as f:
         np.savez(f, *leaves)
+    os.replace(tmp, path)
 
 
 def _flat_load(path: str, like):

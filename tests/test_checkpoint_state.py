@@ -54,3 +54,40 @@ def test_roundtrip_with_extra(tmp_path):
                   "meta": {"it_out": np.asarray(0)}},
     )
     assert int(restored["meta"]["it_out"]) == 2
+
+
+def test_flat_sidecar_roundtrip(tmp_path):
+    """The multi-process flat .npz fallback (pipelines/checkpoint._flat_save)
+    must round-trip bit-exactly and be picked up by load_train_state's
+    file-vs-dir dispatch — single-process unit coverage for the path the
+    2-process runner test exercises end-to-end."""
+    from asyrp_official_tpu.pipelines import checkpoint as cp
+
+    trainable = ({"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros(3)},)
+    opt = optax.inject_hyperparams(optax.sgd)(learning_rate=0.25)
+    opt_state = opt.init(trainable)
+    state = {
+        "trainable": trainable,
+        "opt_state": opt_state,
+        "meta": {"it_out": np.asarray(7)},
+        "extra": cp._EMPTY_EXTRA,
+    }
+    p = str(tmp_path / "flat.orbax")
+    cp._flat_save(p, state)
+    assert not any(f.startswith("flat.orbax.tmp") for f in
+                   __import__("os").listdir(tmp_path))  # atomic: tmp renamed
+    restored = load_train_state(
+        p, like={"trainable": trainable, "opt_state": opt_state,
+                 "meta": {"it_out": np.asarray(0)}},
+    )
+    assert restored is not None
+    np.testing.assert_array_equal(
+        np.asarray(restored["trainable"][0]["w"]), np.arange(6.0).reshape(2, 3)
+    )
+    assert int(restored["meta"]["it_out"]) == 7
+
+    # leaf-count mismatch is a loud error, not silent corruption
+    import pytest
+
+    with pytest.raises(ValueError, match="leaves"):
+        cp._flat_load(p, {"just_one": np.zeros(1)})
