@@ -40,7 +40,7 @@ def _data(n, rng):
         base + rng.randn(n, 16, 16, 3) * 0.05, -1, 1
     ).astype(np.float32)
 
-
+@pytest.mark.slow
 def test_base_training_learns(tmp_path):
     rng = np.random.RandomState(0)
     params = SPEC.init(jax.random.PRNGKey(0))

@@ -57,7 +57,7 @@ def _grids(root):
         for f in fs if f.endswith(".png") and "test_" in f
     )
 
-
+@pytest.mark.slow
 def test_model_path_loads_real_torch_ckpt(ws, reference_path, caplog):
     """--model_path with an actual torch .pth drives the FULL product
     conversion path (load_state_dict_numpy -> spec.params_from_torch),
@@ -76,7 +76,7 @@ def test_model_path_loads_real_torch_ckpt(ws, reference_path, caplog):
     assert any("loaded pretrained diffusion model" in r.message
                for r in caplog.records)
 
-
+@pytest.mark.slow
 def test_download_weights_fetches_and_loads(ws, reference_path, monkeypatch,
                                             caplog):
     """--download_weights without --model_path fetches the registry URL
@@ -119,7 +119,7 @@ def test_download_weights_fetches_and_loads(ws, reference_path, monkeypatch,
     assert any("downloaded pretrained diffusion model" in r.message
                for r in caplog.records)
 
-
+@pytest.mark.slow
 def test_sh_file_provenance_copy(ws):
     """--sh_file_name copies the invoking script into the exp dir as
     {base}_{mode}.sh (reference main.py:255-261)."""
@@ -148,7 +148,7 @@ def test_src_trg_txts_override(ws):
     assert runner.src_txts == ["a face", "faces"]
     assert runner.trg_txts == ["a smiling face", "smiles"]
 
-
+@pytest.mark.slow
 def test_hs_coeff_origin_h_changes_output(ws):
     """--hs_coeff_origin_h scales the ORIGINAL-h coefficient of the edited
     forward (reference main.py:173, used at diffusion_latent.py:618-625);
@@ -171,7 +171,7 @@ def test_hs_coeff_origin_h_changes_output(ws):
     diff = max(np.abs(a_grids[k] - b_grids[k]).max() for k in a_grids)
     assert diff > 2, "halving hs_coeff_origin_h left the decode unchanged"
 
-
+@pytest.mark.slow
 def test_origin_process_addnoise_changes_origin_row(ws):
     """--origin_process_addnoise turns on the eta=1 boost window for the
     ORIGIN (un-edited) decode row too (reference save_image eta selection,
@@ -197,7 +197,7 @@ def test_origin_process_addnoise_changes_origin_row(ws):
     diff = max(np.abs(a[k] - b[k]).max() for k in a)
     assert diff > 2, "origin_process_addnoise left the origin row unchanged"
 
-
+@pytest.mark.slow
 def test_save_train_image_iter_gating(ws):
     """--save_train_image_iter N saves training grids only on iterations
     where it_out % N == 0 (reference diffusion_latent.py:358-365)."""
@@ -212,7 +212,7 @@ def test_save_train_image_iter_gating(ws):
     assert pngs, "iteration 0 should have saved training images"
     assert all(f.split("_")[2] == "0" for f in pngs), pngs  # train_{i}_{it}
 
-
+@pytest.mark.slow
 def test_start_iter_when_you_use_pretrained(ws):
     """--start_iter_when_you_use_pretrained skips the first iterations of
     the training loop (reference diffusion_latent.py:229): only the later
@@ -242,7 +242,7 @@ def test_save_precomputed_images(ws):
             if f.endswith(".png")]
     assert pngs, "no precomputed image dumps written"
 
-
+@pytest.mark.slow
 def test_delta_injection_flag_reaches_edit_state(ws):
     """--delta_injection picks the input-Δh injection rule ('add' — the
     paper's additive rule — vs 'slerp', the reference main forward's
@@ -305,7 +305,7 @@ def test_target_class_num_imagenet_routing(ws, monkeypatch):
     caches = os.listdir(ws / "inetw" / "precomputed")
     assert any(f.startswith(f"IMAGENET_{cls_name}_train") for f in caches), caches
 
-
+@pytest.mark.slow
 def test_id_loss_training_wiring(ws, monkeypatch):
     """--id_loss_w with id weights present wires the ArcFace term into the
     training loss, anchored to the UN-edited denoising x0_t_origin
@@ -386,7 +386,7 @@ def _tiny_openai_clip_sd():
         sd.update(block(f"transformer.resblocks.{i}", tw))
     return sd
 
-
+@pytest.mark.slow
 def test_clip_ckpt_training_through_cli(ws, caplog):
     """--clip_ckpt + --clip_loss_w trains with a REAL (random, tiny) CLIP
     tower through the product surface: build_contexts converts the
@@ -457,7 +457,7 @@ def test_lpips_mode_through_cli(ws):
     vals = np.asarray(list(curve.values()), np.float64)
     assert vals.size and np.isfinite(vals).all()
 
-
+@pytest.mark.slow
 def test_trace_dir_writes_profile(ws):
     """--trace_dir wraps the whole dispatched run in utils/profiling.trace
     and leaves a TensorBoard-loadable device-timeline trace — the

@@ -14,6 +14,8 @@ import shutil
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute sweep (TESTING.md fast tier)
 from PIL import Image
 from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st

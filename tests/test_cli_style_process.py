@@ -3,6 +3,8 @@ import os
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute sweep (TESTING.md fast tier)
 import yaml
 from PIL import Image
 

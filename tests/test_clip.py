@@ -68,7 +68,7 @@ def test_mha_causal_mask_matches_torch():
     ours = cm._mha(p, jnp.asarray(x), heads, mask)
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-4, atol=1e-5)
 
-
+@pytest.mark.slow
 def test_encode_shapes_and_grad():
     params = cm.init(jax.random.PRNGKey(0), TINY)
     imgs = jnp.zeros((2, 32, 32, 3))

@@ -11,7 +11,7 @@ from asyrp_official_tpu.losses import clip_resnet as rn
 TINY = rn.RN50Config(layers=(1, 1, 1, 1), width=16, embed_dim=32, heads=4,
                      image_resolution=64)
 
-
+@pytest.mark.slow
 def test_encode_shapes_and_grad():
     params = rn.init(jax.random.PRNGKey(0), TINY)
     x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3).astype(np.float32))

@@ -94,7 +94,7 @@ def test_update_ema():
     out = update_ema(ema, new, rate=0.9)
     np.testing.assert_allclose(np.asarray(out["w"]), 0.9)
 
-
+@pytest.mark.slow
 def test_graft_entry_traces():
     import sys
 

@@ -179,7 +179,7 @@ def test_bf16_no_f32_promotion():
     )
     assert [o.dtype for o in out] == [jnp.bfloat16] * 3
 
-
+@pytest.mark.slow
 def test_bf16_no_f32_promotion_openai():
     """Same bf16-stays-bf16 contract for the OpenAI family (learn_sigma,
     scale-shift norm, updown resblocks) — its emb/hs_coeff adds are a

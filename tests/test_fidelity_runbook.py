@@ -74,7 +74,7 @@ def test_fidelity_fails_fast_with_full_artifact_list(ws):
     assert "LPIPS weights" in msg
     assert "reference outputs" in msg
 
-
+@pytest.mark.slow
 def test_fidelity_runbook_end_to_end(ws):
     """Train a tiny Δ, run the runbook to produce per-image outputs, then
     gate those outputs against themselves (LPIPS == 0 <= 0.01)."""

@@ -43,7 +43,7 @@ def ws(tmp_path_factory):
         yaml.safe_dump(OPENAI_TINY_CONFIG, f)
     return ws
 
-
+@pytest.mark.slow
 def test_cli_openai_family_train_test(ws):
     """The iDDPM/ADM path through the WHOLE runner: learn_sigma channel
     split, openai DeltaBlock flavor, checkpointing, grids."""

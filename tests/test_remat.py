@@ -10,7 +10,7 @@ import jax.numpy as jnp
 from asyrp_official_tpu.models import ddpmpp, openai_unet
 from asyrp_official_tpu.models.registry import ModelSpec
 
-
+@pytest.mark.slow
 def test_ddpmpp_remat_identical():
     cfg = ddpmpp.DDPMppConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
                               attn_resolutions=(16,), resolution=32)

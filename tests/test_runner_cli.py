@@ -100,7 +100,7 @@ def test_cli_train_then_test(workspace, trained):
     ]
     assert test_dir, "no grid images written"
 
-
+@pytest.mark.slow
 def test_cli_train_delta_h(workspace):
     ws = workspace
     rc = cli_main(

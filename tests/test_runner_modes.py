@@ -130,7 +130,7 @@ def test_do_train_0_skips_training_loop(ws):
     cks = [c for c in os.listdir(ws / "checkpoint") if c.startswith("dt0_")]
     assert not cks, cks
 
-
+@pytest.mark.slow
 def test_resume_from_pth_with_get_h_num_2(ws):
     """.pth-only resume with get_h_num=2 must keep the trained/extra block
     split: _save_delta writes [trained]+extras, and restoring ALL of them
