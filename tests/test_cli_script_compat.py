@@ -63,7 +63,14 @@ def _run_script_argv(name, env_extra=None):
     with tempfile.TemporaryDirectory() as d:
         stub = os.path.join(d, "python")
         with open(stub, "w") as f:
-            f.write('#!/bin/sh\nshift\nfor a in "$@"; do printf "%s\\n" "$a"; done\n')
+            # capture ONLY `python main.py ...` argv; other python calls
+            # (e.g. chip_train_capture.sh's workspace-prep heredoc,
+            # `python - "$WS" <<PY`) print nothing and drain stdin
+            f.write(
+                '#!/bin/sh\ncase "$1" in\n'
+                '*main.py) shift; for a in "$@"; do printf "%s\\n" "$a"; done;;\n'
+                "*) cat >/dev/null;;\nesac\n"
+            )
         os.chmod(stub, 0o755)
         env = dict(os.environ, PATH=d + os.pathsep + os.environ["PATH"])
         env.update(env_extra or {})
@@ -78,11 +85,19 @@ def _run_script_argv(name, env_extra=None):
 @pytest.mark.parametrize("name", REPO_SCRIPTS)
 def test_repo_script_flags_parse(name):
     """Our shipped scripts/*.sh (the reference's four workflows, TPU
-    edition) must execute and produce a parseable argv — same doc-rot
-    discipline as the reference scripts above."""
+    edition, plus the on-chip capture runbook) must execute and produce a
+    parseable argv — same doc-rot discipline as the reference scripts
+    above."""
     argv = _run_script_argv(name)
     args = build_parser().parse_args(argv)
-    assert args.config and args.model_path  # real-weights path, no randoms
+    assert args.config
+    if name == "chip_train_capture.sh":
+        # the capture runbook times the weight-independent training step
+        # in an egress-blocked env: random init, trace on, 2 iterations
+        assert args.run_train and args.trace_dir and args.allow_random_weights
+        assert args.n_iter == 2
+        return
+    assert args.model_path  # real-weights path, no randoms
     if name == "lpips.sh":
         assert args.lpips and args.lpips_ckpt
     elif name == "precompute.sh":
