@@ -29,9 +29,11 @@ pytestmark = pytest.mark.slow
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 TRAIN_ARGS = ["--run_train", "--train_delta_block", "--do_test", "0", "--dp", "-1"]
+SERVE_ARGS = ["--run_test", "--train_delta_block", "--num_mean_of_delta_hs", "2",
+              "--do_test", "0", "--dp", "-1"]
 
 WORKER = r"""
-import os, sys
+import os, shutil, sys
 sys.path.insert(0, %(repo)r)
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -47,10 +49,14 @@ from asyrp_official_tpu.cli.main import main as cli_main
 from asyrp_official_tpu.utils.tinyws import tiny_base_argv
 
 work = os.path.join(ws, f"mp{pid}")
+src_ckpt = %(copy_ckpt_from)r
+if src_ckpt and not os.path.isdir(os.path.join(work, "checkpoint")):
+    os.makedirs(work, exist_ok=True)
+    shutil.copytree(src_ckpt, os.path.join(work, "checkpoint"))
 argv = tiny_base_argv(
     os.path.join(ws, "tiny.yml"), os.path.join(ws, "imgs"), work,
     os.path.join(work, "runs", "e"), n_img=4, bs_train=4,
-    extra=%(train_args)r,
+    extra=%(args)r,
 )
 rc = cli_main(argv)
 print("WORKER-RC", pid, rc, flush=True)
@@ -66,9 +72,11 @@ def _free_port():
     return port
 
 
-def _run_pair(tmp_path, ws, port, tag):
+def _run_pair(tmp_path, ws, port, args, copy_ckpt_from=""):
     script = tmp_path / "worker.py"
-    script.write_text(WORKER % {"repo": REPO, "train_args": TRAIN_ARGS})
+    script.write_text(WORKER % {
+        "repo": REPO, "args": list(args), "copy_ckpt_from": copy_ckpt_from,
+    })
     env = dict(os.environ)
     # 2 virtual CPU devices per process (the parent's 8-device conftest
     # setting must not leak in — the global mesh would be 16-wide)
@@ -95,6 +103,23 @@ def _run_pair(tmp_path, ws, port, tag):
     return rcs, logs
 
 
+def _run_pair_retrying(tmp_path, ws, args, copy_ckpt_from=""):
+    """Retry transient pair failures: port-bind TOCTOU races AND
+    coordinator connect/barrier timeouts under host CPU contention (this
+    1-CPU box runs parent + 2 workers; a loaded suite can starve the
+    jax.distributed handshake). A deterministic bug still fails: 3
+    attempts exhaust fast and the last logs are printed."""
+    import shutil
+
+    for attempt in range(3):
+        rcs, logs = _run_pair(tmp_path, ws, _free_port(), args, copy_ckpt_from)
+        if all(rc == 0 for rc in rcs):
+            return rcs
+        for pid in range(2):
+            shutil.rmtree(ws / f"mp{pid}", ignore_errors=True)
+    pytest.fail(f"2-process pair failed on 3 attempts: {logs}")
+
+
 def _ckpt(work):
     d = os.path.join(work, "checkpoint")
     return os.path.join(d, [c for c in os.listdir(d) if c.endswith("_0.pth")][0])
@@ -115,21 +140,7 @@ def test_runner_train_two_processes_matches_single(tmp_path):
     ))
     assert rc == 0
 
-    # retry transient pair failures: port-bind TOCTOU races AND coordinator
-    # connect/barrier timeouts under host CPU contention (this 1-CPU box runs
-    # parent + 2 workers; a loaded suite can starve the jax.distributed
-    # handshake). A deterministic bug still fails: 3 attempts exhaust fast
-    # and the last logs are printed.
-    for attempt in range(3):
-        rcs, logs = _run_pair(tmp_path, ws, _free_port(), attempt)
-        if all(rc == 0 for rc in rcs):
-            break
-        import shutil
-
-        for pid in range(2):
-            shutil.rmtree(ws / f"mp{pid}", ignore_errors=True)
-    else:
-        pytest.fail(f"2-process pair failed on 3 attempts: {logs}")
+    _run_pair_retrying(tmp_path, ws, TRAIN_ARGS)
 
     ref = jax.tree.leaves(load_delta_checkpoint(_ckpt(sp_work))["blocks"])
     mp = [
@@ -141,3 +152,74 @@ def test_runner_train_two_processes_matches_single(tmp_path):
         np.testing.assert_array_equal(l0, l1)
     for lr, l0 in zip(ref, mp[0]):  # and equal to single-process DP
         np.testing.assert_allclose(lr, l0, atol=5e-5)
+
+
+def _close(a, b, label):
+    """Scale-relative float bound, as in test_runner_dp (random-weight
+    chains are expansive, so per-element rtol is meaningless on near-zero
+    entries; a real sharding bug lands at O(1) of scale)."""
+    a, b = np.asarray(a), np.asarray(b)
+    scale = np.abs(a).max()
+    assert scale > 0, label
+    err = np.abs(a - b).max() / scale
+    assert err <= 1e-4, (label, err, scale)
+
+
+def test_runner_serving_two_processes_matches_single(tmp_path):
+    """run_test as a 2-process PRODUCT capability (completes VERDICT r2
+    item 4 beyond training): checkpoint resolution, precompute (DDIM
+    inversion batched over the global mesh), the edited dual-decode
+    generation, the mean-Δh harvest reductions (diffusion_latent.py:
+    810-835), and grid writes all run under process_count == 2. Float
+    artifacts must be bit-identical across hosts (fully replicated
+    results) and match a single-process --dp 4 run of the same recipe,
+    serving from a bitwise-shared Δ checkpoint."""
+    ws = tmp_path / "ws"
+    ws.mkdir()
+    write_tiny_workspace(str(ws))
+
+    sp_work = str(ws / "sp")
+
+    def sp_args(extra):
+        return tiny_base_argv(
+            str(ws / "tiny.yml"), str(ws / "imgs"), sp_work,
+            os.path.join(sp_work, "runs", "e"), n_img=4, bs_train=4,
+            extra=[a if a != "-1" else "4" for a in extra],
+        )
+
+    assert cli_main(sp_args(TRAIN_ARGS)) == 0
+    assert cli_main(sp_args(SERVE_ARGS)) == 0
+
+    _run_pair_retrying(
+        tmp_path, ws, SERVE_ARGS,
+        copy_ckpt_from=os.path.join(sp_work, "checkpoint"),
+    )
+
+    # harvested mean-Δh rows: the edited generation chain + reductions
+    def _rows(work):
+        d = os.path.join(work, "checkpoint_latent")
+        files = sorted(os.listdir(d))
+        assert len(files) == 1, (work, files)
+        return load_delta_checkpoint(os.path.join(d, files[0]))["delta_rows"]
+
+    ra = _rows(sp_work)
+    r0, r1 = _rows(str(ws / "mp0")), _rows(str(ws / "mp1"))
+    assert sorted(ra) == sorted(r0) == sorted(r1) and len(ra) > 1
+    for k in ra:
+        np.testing.assert_array_equal(r0[k], r1[k])  # hosts identical
+        _close(ra[k], r0[k], f"delta_rows[{k}]")
+
+    # precomputed latents: the inversion + reconstruction chains
+    def _pairs(work):
+        d = os.path.join(work, "precomputed")
+        files = sorted(f for f in os.listdir(d) if f.endswith(".npz"))
+        assert files, d
+        return {f: np.load(os.path.join(d, f)) for f in files}
+
+    pa = _pairs(sp_work)
+    p0, p1 = _pairs(str(ws / "mp0")), _pairs(str(ws / "mp1"))
+    assert list(pa) == list(p0) == list(p1)
+    for name in pa:
+        for key in ("x_lat", "x_rec"):
+            np.testing.assert_array_equal(p0[name][key], p1[name][key])
+            _close(pa[name][key], p0[name][key], f"{name}:{key}")
