@@ -98,8 +98,10 @@ def build_parser() -> argparse.ArgumentParser:
     add("--dp", type=int, default=0,
         help="data-parallel over N chips (-1 = all); bs_train must divide")
     add("--tp_spatial", action="store_true",
-        help="with --dp: shard ONE image's activation height across the "
-             "chips (serving-latency mode; image_size must divide by --dp)")
+        help="with --dp: shard activation HEIGHT across the chips, dividing "
+             "the per-image conv work — serving AND training (the only "
+             "multi-chip lever at the reference's default bs=1 recipe); "
+             "image_size must divide by --dp")
 
     # editing target
     add("--edit_attr", type=str, default=None)

@@ -160,8 +160,10 @@ class AsyrpRunner:
             n = len(jax.devices()) if dp == -1 else dp
             self.mesh = pmesh.make_mesh(n)
             if self.tp_spatial:
-                # serving-latency mode: ONE image's activation height axis
-                # sharded across the chips (parallel/spatial.py)
+                # latency mode, serving AND training: the activation height
+                # axis sharded across the chips (parallel/spatial.py) —
+                # divides the per-image conv work, the only multi-chip
+                # lever at the reference's default bs=1 recipe
                 if config["data"]["image_size"] % n:
                     raise ValueError(
                         f"--tp_spatial: image_size={config['data']['image_size']} "

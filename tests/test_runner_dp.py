@@ -108,6 +108,30 @@ def test_tp_spatial_serving_matches(ws):
         assert np.abs(baseline[p] - ib).max() <= 2, p
 
 
+def test_tp_spatial_training(ws):
+    """--tp_spatial during TRAINING: the activation height axis is sharded
+    across 4 devices through the full CLI --run_train path (GSPMD inserts
+    the 3x3-conv halo exchanges and the grad reductions over the spatial
+    shards). This is the only multi-chip lever at the reference's default
+    recipe (bs 1, a handful of images — DataParallel cannot engage,
+    main.py:326-327); the trained Δ must match single-device (measured
+    2.5e-7; asserted at the established 5e-5)."""
+    from asyrp_official_tpu.compat.delta_ckpt import load_delta_checkpoint
+
+    train = ["--run_train", "--train_delta_block", "--do_test", "0"]
+    rc = cli_main(_args(ws, "tptsd", train))
+    assert rc == 0
+    rc = cli_main(_args(ws, "tpt", train + ["--dp", "4", "--tp_spatial"]))
+    assert rc == 0
+    a = load_delta_checkpoint(_ckpt(ws / "tptsd"))
+    b = load_delta_checkpoint(_ckpt(ws / "tpt"))
+    flat_a = jax.tree.leaves(a["blocks"])
+    flat_b = jax.tree.leaves(b["blocks"])
+    assert len(flat_a) == len(flat_b) > 0
+    for la, lb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(la, lb, atol=5e-5)
+
+
 def test_dp_divisibility_is_checked(ws):
     from asyrp_official_tpu.runner import AsyrpRunner
     from asyrp_official_tpu.cli.main import build_parser
