@@ -97,6 +97,11 @@ def build_parser() -> argparse.ArgumentParser:
     # runner: batches sharded over a jax.sharding.Mesh, params replicated)
     add("--dp", type=int, default=0,
         help="data-parallel over N chips (-1 = all); bs_train must divide")
+    add("--sp", type=int, default=0,
+        help="spatial ways of a 2D data x spatial mesh: --dp D image "
+             "groups in parallel, each image's activation height split "
+             "over S chips (uses D*S devices; --dp -1/absent = all//S; "
+             "image_size must divide by S, bs_train by D)")
     add("--tp_spatial", action="store_true",
         help="with --dp: shard activation HEIGHT across the chips, dividing "
              "the per-image conv work — serving AND training (the only "

@@ -28,12 +28,20 @@ __all__ = [
 ]
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 
 
-def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+def make_mesh(
+    n_devices: Optional[int] = None, devices=None, *, spatial: int = 1
+) -> Mesh:
     """n_devices=None (or -1, the CLI's 'all') uses every device; asking
     for more devices than exist is an ERROR, not a silent truncation —
-    callers size batches against the requested count."""
+    callers size batches against the requested count.
+
+    spatial > 1 builds a 2D `(data, spatial)` mesh of shape
+    (n_devices // spatial, spatial): batches shard over `data`, activation
+    height over `spatial` (parallel/spatial.py) — the throughput × latency
+    composition for larger pods. spatial == 1 keeps the 1D `data` mesh."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None and n_devices != -1:
@@ -43,7 +51,14 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
                 f"{len(devices)} devices are available"
             )
         devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+    if spatial <= 1:
+        return Mesh(np.asarray(devices), (DATA_AXIS,))
+    if len(devices) % spatial:
+        raise ValueError(
+            f"spatial={spatial} must divide the {len(devices)}-device mesh"
+        )
+    grid = np.asarray(devices).reshape(len(devices) // spatial, spatial)
+    return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
 
 
 def batch_spec(mesh: Mesh) -> NamedSharding:

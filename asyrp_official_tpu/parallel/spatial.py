@@ -22,13 +22,14 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from asyrp_official_tpu.parallel.mesh import DATA_AXIS
+from asyrp_official_tpu.parallel.mesh import DATA_AXIS, SPATIAL_AXIS, _put_tree
 
-__all__ = ["spatial_spec", "spatial_shard"]
+__all__ = ["spatial_spec", "spatial_shard", "batch_spatial_spec", "batch_spatial_shard"]
 
 
 def spatial_spec(mesh: Mesh) -> NamedSharding:
-    """[B, H, W, C] with H sharded over the mesh axis."""
+    """[B, H, W, C] with H sharded over the (1D) mesh axis — the pure
+    latency mode: every chip works on one image's rows."""
     return NamedSharding(mesh, P(None, DATA_AXIS, None, None))
 
 
@@ -39,3 +40,20 @@ def spatial_shard(mesh: Mesh, x) -> jax.Array:
         f"H={x.shape[1]} not divisible by {mesh.devices.size} devices"
     )
     return jax.device_put(x, spatial_spec(mesh))
+
+
+def batch_spatial_spec(mesh: Mesh) -> NamedSharding:
+    """[B, H, W, C] on a 2D (data, spatial) mesh: batch over `data`,
+    height over `spatial` — throughput × latency composed."""
+    assert SPATIAL_AXIS in mesh.axis_names, mesh.axis_names
+    return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS, None, None))
+
+
+def batch_spatial_shard(mesh: Mesh, x) -> jax.Array:
+    """Commit a batch onto a 2D mesh: B divides by the data axis, H by the
+    spatial axis (multi-process safe via mesh._put_tree)."""
+    dp = mesh.shape[DATA_AXIS]
+    sp = mesh.shape[SPATIAL_AXIS]
+    assert x.shape[0] % dp == 0, f"B={x.shape[0]} not divisible by data={dp}"
+    assert x.shape[1] % sp == 0, f"H={x.shape[1]} not divisible by spatial={sp}"
+    return _put_tree(x, batch_spatial_spec(mesh))

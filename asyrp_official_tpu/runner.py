@@ -154,9 +154,39 @@ class AsyrpRunner:
         # is a data-axis mesh owned by the runner — batches sharded, frozen
         # UNet + Δ params replicated, Δ-grad psum inserted by GSPMD.
         dp = int(getattr(args, "dp", 0) or 0)
+        sp = int(getattr(args, "sp", 0) or 0)
         self.mesh = None
         self.tp_spatial = bool(getattr(args, "tp_spatial", False))
-        if dp:
+        self.sp = 0
+        if sp and self.tp_spatial:
+            raise ValueError(
+                "--sp and --tp_spatial are exclusive: --tp_spatial spreads "
+                "the WHOLE --dp mesh over the height axis; --sp carves a 2D "
+                "data x spatial mesh"
+            )
+        if sp > 1:
+            # 2D (data, spatial) mesh — throughput x latency composed:
+            # --dp D image groups in parallel, each image's activation
+            # height split over --sp S chips (D*S devices; --dp -1 or
+            # absent sizes the data axis as all_devices // S)
+            d = (len(jax.devices()) // sp) if dp in (0, -1) else dp
+            if d < 1:
+                raise ValueError(
+                    f"--sp {sp} exceeds the {len(jax.devices())} available devices"
+                )
+            if config["data"]["image_size"] % sp:
+                raise ValueError(
+                    f"--sp: image_size={config['data']['image_size']} "
+                    f"must divide by --sp {sp}"
+                )
+            if getattr(args, "bs_train", 1) % d:
+                raise ValueError(
+                    f"bs_train={args.bs_train} must divide by the data "
+                    f"axis {d} (--dp)"
+                )
+            self.mesh = pmesh.make_mesh(d * sp, spatial=sp)
+            self.sp = sp
+        elif dp:
             n = len(jax.devices()) if dp == -1 else dp
             self.mesh = pmesh.make_mesh(n)
             if self.tp_spatial:
@@ -191,11 +221,16 @@ class AsyrpRunner:
     # placement (single-device pin, or mesh sharding under --dp)
     # ------------------------------------------------------------------
     def _put(self, x) -> jax.Array:
-        """Commit a [B, H, W, C] batch: data-axis sharded on the mesh
-        (or height-sharded under --tp_spatial); device-pinned otherwise."""
+        """Commit a [B, H, W, C] batch: data-axis sharded on the mesh,
+        height-sharded under --tp_spatial, both under --sp (2D mesh);
+        device-pinned otherwise."""
         x = jnp.asarray(x)
         if self.mesh is None:
             return jax.device_put(x, jax.local_devices()[0])
+        if self.sp:
+            from asyrp_official_tpu.parallel.spatial import batch_spatial_shard
+
+            return batch_spatial_shard(self.mesh, x)
         if self.tp_spatial:
             from asyrp_official_tpu.parallel.spatial import spatial_shard
 
@@ -203,12 +238,18 @@ class AsyrpRunner:
         return pmesh.shard_batch(self.mesh, x)
 
     def _put_padded(self, x) -> Tuple[jax.Array, int]:
-        """Like _put but pads the batch axis to the mesh multiple; returns
-        (committed, n_real) — callers slice outputs back to n_real."""
+        """Like _put but pads the batch axis to the data-axis multiple;
+        returns (committed, n_real) — callers slice outputs back to
+        n_real."""
         x = np.asarray(x)
         n = x.shape[0]
         if self.mesh is not None and not self.tp_spatial:
-            x, _ = pmesh.pad_to_multiple(x, self.mesh.devices.size)
+            m = (
+                self.mesh.shape[pmesh.DATA_AXIS]
+                if self.sp
+                else self.mesh.devices.size
+            )
+            x, _ = pmesh.pad_to_multiple(x, m)
         return self._put(x), n
 
     def _replicate(self, tree):
