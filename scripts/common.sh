@@ -17,6 +17,7 @@ TPU_FLAGS=""
 [ -n "$DP" ] && TPU_FLAGS="$TPU_FLAGS --dp $DP"
 [ -n "$BF16" ] && TPU_FLAGS="$TPU_FLAGS --bf16"
 [ -n "$TP_SPATIAL" ] && TPU_FLAGS="$TPU_FLAGS --tp_spatial"
+[ -n "$SP" ] && TPU_FLAGS="$TPU_FLAGS --sp $SP"   # 2D data x spatial mesh
 
 COMMON_ARGS="--config $CONFIG --exp ./runs/$ATTR --edit_attr $ATTR
   --custom_train_dataset_dir $TRAIN_DIR --custom_test_dataset_dir $TEST_DIR

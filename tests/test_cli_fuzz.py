@@ -56,7 +56,7 @@ NOISE = [[], ["--eta", "0.5"],
 SCALE = [[], ["--hs_coeff_delta_h", "0.5"]]
 SAVES = [[], ["--save_x_origin", "--save_x0"],
          ["--save_x_origin", "--save_process_origin", "--save_process_delta_h"]]
-MESH = [[], ["--dp", "2"]]
+MESH = [[], ["--dp", "2"], ["--dp", "2", "--sp", "2"]]
 
 
 @settings(max_examples=12, derandomize=True, deadline=None,
@@ -108,7 +108,7 @@ T_SAVES = [[], ["--save_checkpoint_during_iter", "--save_checkpoint_step", "1"],
            ["--save_train_image", "--save_train_image_step", "1"]]
 T_ITER = [[], ["--n_iter", "2", "--save_checkpoint_only_last_iter"]]
 T_SCHED = [[], ["--scheduler_step_size", "1", "--sch_gamma", "0.5"]]
-T_MESH = [[], ["--dp", "2"]]
+T_MESH = [[], ["--dp", "2"], ["--dp", "2", "--sp", "2"]]
 
 
 @settings(max_examples=8, derandomize=True, deadline=None,

@@ -115,3 +115,10 @@ def test_repo_script_tpu_knobs():
     )
     args = build_parser().parse_args(argv)
     assert args.dp == 4 and args.bf16 and args.tp_spatial
+
+
+def test_repo_script_sp_knob():
+    """SP env knob surfaces the 2D data x spatial mesh flag."""
+    argv = _run_script_argv("train.sh", {"DP": "4", "SP": "2"})
+    args = build_parser().parse_args(argv)
+    assert args.dp == 4 and args.sp == 2 and not args.tp_spatial
