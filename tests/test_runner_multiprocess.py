@@ -154,6 +154,41 @@ def test_runner_train_two_processes_matches_single(tmp_path):
         np.testing.assert_allclose(lr, l0, atol=5e-5)
 
 
+def test_runner_train_two_processes_2d_mesh(tmp_path):
+    """The 2D (data, spatial) mesh under process_count == 2: --dp -1 --sp 2
+    builds one global 2x2 mesh from the 4 devices of two hosts — the grad
+    psum crosses processes over BOTH axes (batch shards and height shards).
+    Trained Δ must match a single-process --dp 2 --sp 2 run."""
+    ws = tmp_path / "ws"
+    ws.mkdir()
+    write_tiny_workspace(str(ws))
+
+    sp_work = str(ws / "sp")
+    rc = cli_main(tiny_base_argv(
+        str(ws / "tiny.yml"), str(ws / "imgs"), sp_work,
+        os.path.join(sp_work, "runs", "e"), n_img=4, bs_train=2,
+        extra=["--run_train", "--train_delta_block", "--do_test", "0",
+               "--dp", "2", "--sp", "2"],
+    ))
+    assert rc == 0
+
+    _run_pair_retrying(tmp_path, ws, [
+        "--run_train", "--train_delta_block", "--do_test", "0",
+        "--dp", "-1", "--sp", "2", "--bs_train", "2", "--n_train_img", "4",
+    ])
+
+    ref = jax.tree.leaves(load_delta_checkpoint(_ckpt(sp_work))["blocks"])
+    mp = [
+        jax.tree.leaves(load_delta_checkpoint(_ckpt(str(ws / f"mp{pid}")))["blocks"])
+        for pid in range(2)
+    ]
+    assert len(ref) == len(mp[0]) == len(mp[1]) > 0
+    for l0, l1 in zip(mp[0], mp[1]):
+        np.testing.assert_array_equal(l0, l1)
+    for lr, l0 in zip(ref, mp[0]):
+        np.testing.assert_allclose(lr, l0, atol=5e-5)
+
+
 def _close(a, b, label):
     """Scale-relative float bound, as in test_runner_dp (random-weight
     chains are expansive, so per-element rtol is meaningless on near-zero
