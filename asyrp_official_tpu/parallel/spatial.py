@@ -36,16 +36,23 @@ def spatial_spec(mesh: Mesh) -> NamedSharding:
 def spatial_shard(mesh: Mesh, x) -> jax.Array:
     """Place an image batch with the height axis split across chips.
     H must be divisible by the mesh size."""
-    assert x.shape[1] % mesh.devices.size == 0, (
-        f"H={x.shape[1]} not divisible by {mesh.devices.size} devices"
-    )
+    if x.shape[1] % mesh.devices.size:
+        # ValueError, not assert: user-reachable misuse must stay loud
+        # under python -O (same convention as make_mesh / AsyrpRunner)
+        raise ValueError(
+            f"H={x.shape[1]} not divisible by {mesh.devices.size} devices"
+        )
     return jax.device_put(x, spatial_spec(mesh))
 
 
 def batch_spatial_spec(mesh: Mesh) -> NamedSharding:
     """[B, H, W, C] on a 2D (data, spatial) mesh: batch over `data`,
     height over `spatial` — throughput × latency composed."""
-    assert SPATIAL_AXIS in mesh.axis_names, mesh.axis_names
+    if SPATIAL_AXIS not in mesh.axis_names:
+        raise ValueError(
+            f"mesh has no '{SPATIAL_AXIS}' axis (axes: {mesh.axis_names}) — "
+            "build it with make_mesh(n, spatial=S)"
+        )
     return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS, None, None))
 
 
@@ -54,6 +61,8 @@ def batch_spatial_shard(mesh: Mesh, x) -> jax.Array:
     spatial axis (multi-process safe via mesh._put_tree)."""
     dp = mesh.shape[DATA_AXIS]
     sp = mesh.shape[SPATIAL_AXIS]
-    assert x.shape[0] % dp == 0, f"B={x.shape[0]} not divisible by data={dp}"
-    assert x.shape[1] % sp == 0, f"H={x.shape[1]} not divisible by spatial={sp}"
+    if x.shape[0] % dp:
+        raise ValueError(f"B={x.shape[0]} not divisible by data={dp}")
+    if x.shape[1] % sp:
+        raise ValueError(f"H={x.shape[1]} not divisible by spatial={sp}")
     return _put_tree(x, batch_spatial_spec(mesh))

@@ -158,18 +158,37 @@ class AsyrpRunner:
         self.mesh = None
         self.tp_spatial = bool(getattr(args, "tp_spatial", False))
         self.sp = 0
+        if sp and sp < 2:
+            # a silently-ignored flag contradicts the loud-failure
+            # convention — sp=1 would be an 8x-slower no-op
+            raise ValueError(
+                f"--sp {sp}: the spatial axis needs >= 2 ways "
+                "(use --dp alone for pure data parallelism)"
+            )
         if sp and self.tp_spatial:
             raise ValueError(
                 "--sp and --tp_spatial are exclusive: --tp_spatial spreads "
                 "the WHOLE --dp mesh over the height axis; --sp carves a 2D "
                 "data x spatial mesh"
             )
-        if sp > 1:
+        if sp:
             # 2D (data, spatial) mesh — throughput x latency composed:
             # --dp D image groups in parallel, each image's activation
             # height split over --sp S chips (D*S devices; --dp -1 or
             # absent sizes the data axis as all_devices // S)
-            d = (len(jax.devices()) // sp) if dp in (0, -1) else dp
+            if dp in (0, -1):
+                n_avail = len(jax.devices())
+                if n_avail % sp:
+                    # 'all devices' must mean ALL — silently idling
+                    # n_avail % sp chips contradicts make_mesh's own
+                    # no-silent-truncation contract
+                    raise ValueError(
+                        f"--sp {sp} does not divide the {n_avail} available "
+                        "devices; pass --dp D explicitly to use a subset"
+                    )
+                d = n_avail // sp
+            else:
+                d = dp
             if d < 1:
                 raise ValueError(
                     f"--sp {sp} exceeds the {len(jax.devices())} available devices"

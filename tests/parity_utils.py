@@ -1,0 +1,42 @@
+"""Shared float-parity helpers for the sharded-serving equivalence tests
+(test_runner_dp.py / test_runner_multiprocess.py) — one definition of the
+noise bound and the artifact loaders so the two suites enforce the SAME
+contract."""
+import os
+
+import numpy as np
+
+
+def close_to_scale(a, b, label, bound=1e-4):
+    """Scale-relative float bound: max|a-b| <= bound * max|a|.
+
+    With random weights the serving chains are expansive (x_rec reaches
+    O(350)), so benign XLA scheduling noise shows up at ~1e-5 RELATIVE TO
+    THE ARRAY SCALE while staying huge in per-element rtol terms on
+    near-zero entries; a real reduction-order/shard bug lands at O(1) of
+    scale. bound=1e-4 is 8x the observed noise ceiling (1.3e-5)."""
+    a, b = np.asarray(a), np.asarray(b)
+    scale = np.abs(a).max()
+    assert scale > 0, label
+    err = np.abs(a - b).max() / scale
+    assert err <= bound, (label, err, scale)
+
+
+def load_mean_rows(work_dir):
+    """The single harvested mean-Δh checkpoint under
+    {work_dir}/checkpoint_latent — the edited-generation-chain artifact."""
+    from asyrp_official_tpu.compat.delta_ckpt import load_delta_checkpoint
+
+    d = os.path.join(str(work_dir), "checkpoint_latent")
+    files = sorted(os.listdir(d))
+    assert len(files) == 1, (work_dir, files)
+    return load_delta_checkpoint(os.path.join(d, files[0]))["delta_rows"]
+
+
+def load_pairs_npz(work_dir):
+    """All precompute caches under {work_dir}/precomputed — the
+    inversion/reconstruction-chain artifacts."""
+    d = os.path.join(str(work_dir), "precomputed")
+    files = sorted(f for f in os.listdir(d) if f.endswith(".npz"))
+    assert files, f"no precompute cache under {d}"
+    return {f: np.load(os.path.join(d, f)) for f in files}

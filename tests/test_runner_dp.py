@@ -183,8 +183,12 @@ def test_sp_guards(ws):
         build(["--dp", "2", "--sp", "5"])  # 32 % 5 != 0
     with pytest.raises(ValueError, match="data"):
         build(["--dp", "3", "--sp", "2"])  # bs_train=2 % 3 != 0
-    with pytest.raises(ValueError, match="exceeds"):
-        build(["--sp", "16"])  # all 8 devices // 16 < 1
+    with pytest.raises(ValueError, match="does not divide"):
+        build(["--sp", "16"])  # 8 available devices % 16 != 0
+    with pytest.raises(ValueError, match=">= 2"):
+        build(["--sp", "1"])  # a silent no-op would be 8x slower
+    with pytest.raises(ValueError, match="does not divide"):
+        build(["--dp", "-1", "--sp", "3"])  # 'all' must mean ALL 8 devices
 
 
 def test_dp_divisibility_is_checked(ws):
@@ -289,42 +293,22 @@ def test_dp_serving_float_parity(ws):
     rc = cli_main(_args(ws, "fpdp", harvest + ["--dp", "2"]))
     assert rc == 0
 
-    # With random weights the chains are expansive (x_rec reaches O(350)),
-    # so benign XLA scheduling noise shows up at ~1e-5 RELATIVE TO THE
-    # ARRAY SCALE while staying huge in per-element rtol terms on
-    # near-zero entries; a real reduction-order/shard bug lands at O(1)
-    # of scale. Bound: max|a-b| <= 1e-4 * max|a| (8x observed noise).
-    def _close(a, b, label):
-        a, b = np.asarray(a), np.asarray(b)
-        scale = np.abs(a).max()
-        assert scale > 0, label
-        err = np.abs(a - b).max() / scale
-        assert err <= 1e-4, (label, err, scale)
+    # noise bound + artifact loaders shared with the multiprocess serving
+    # parity test — ONE contract (tests/parity_utils.py)
+    from parity_utils import close_to_scale, load_mean_rows, load_pairs_npz
 
     # inversion + reconstruction chains, full float values
-    def _pairs(work):
-        d = ws / work / "precomputed"
-        files = sorted(f for f in os.listdir(d) if f.endswith(".npz"))
-        assert files, f"no precompute cache under {d}"
-        return {f: np.load(os.path.join(d, f)) for f in files}
-
-    pa, pb = _pairs("fpsd"), _pairs("fpdp")
+    pa, pb = load_pairs_npz(ws / "fpsd"), load_pairs_npz(ws / "fpdp")
     assert list(pa) == list(pb)
     for name in pa:
         for key in ("x_lat", "x_rec"):
-            _close(pa[name][key], pb[name][key], f"{name}:{key}")
+            close_to_scale(pa[name][key], pb[name][key], f"{name}:{key}")
 
     # edited dual-decode chain + mean reductions, full float values
-    def _rows(work):
-        d = ws / work / "checkpoint_latent"
-        files = sorted(os.listdir(d))
-        assert len(files) == 1, files
-        return load_delta_checkpoint(os.path.join(d, files[0]))["delta_rows"]
-
-    ra, rb = _rows("fpsd"), _rows("fpdp")
+    ra, rb = load_mean_rows(ws / "fpsd"), load_mean_rows(ws / "fpdp")
     assert sorted(ra) == sorted(rb) and len(ra) > 1
     for k in ra:
-        _close(ra[k], rb[k], f"delta_rows[{k}]")
+        close_to_scale(ra[k], rb[k], f"delta_rows[{k}]")
 
 
 def test_bf16_cli_train_and_test_with_dp(ws):

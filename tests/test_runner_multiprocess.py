@@ -189,17 +189,6 @@ def test_runner_train_two_processes_2d_mesh(tmp_path):
         np.testing.assert_allclose(lr, l0, atol=5e-5)
 
 
-def _close(a, b, label):
-    """Scale-relative float bound, as in test_runner_dp (random-weight
-    chains are expansive, so per-element rtol is meaningless on near-zero
-    entries; a real sharding bug lands at O(1) of scale)."""
-    a, b = np.asarray(a), np.asarray(b)
-    scale = np.abs(a).max()
-    assert scale > 0, label
-    err = np.abs(a - b).max() / scale
-    assert err <= 1e-4, (label, err, scale)
-
-
 def test_runner_serving_two_processes_matches_single(tmp_path):
     """run_test as a 2-process PRODUCT capability (completes VERDICT r2
     item 4 beyond training): checkpoint resolution, precompute (DDIM
@@ -230,31 +219,23 @@ def test_runner_serving_two_processes_matches_single(tmp_path):
         copy_ckpt_from=os.path.join(sp_work, "checkpoint"),
     )
 
-    # harvested mean-Δh rows: the edited generation chain + reductions
-    def _rows(work):
-        d = os.path.join(work, "checkpoint_latent")
-        files = sorted(os.listdir(d))
-        assert len(files) == 1, (work, files)
-        return load_delta_checkpoint(os.path.join(d, files[0]))["delta_rows"]
+    # noise bound + artifact loaders shared with test_runner_dp's
+    # single-process float-parity test — ONE contract (parity_utils)
+    from parity_utils import close_to_scale, load_mean_rows, load_pairs_npz
 
-    ra = _rows(sp_work)
-    r0, r1 = _rows(str(ws / "mp0")), _rows(str(ws / "mp1"))
+    # harvested mean-Δh rows: the edited generation chain + reductions
+    ra = load_mean_rows(sp_work)
+    r0, r1 = load_mean_rows(ws / "mp0"), load_mean_rows(ws / "mp1")
     assert sorted(ra) == sorted(r0) == sorted(r1) and len(ra) > 1
     for k in ra:
         np.testing.assert_array_equal(r0[k], r1[k])  # hosts identical
-        _close(ra[k], r0[k], f"delta_rows[{k}]")
+        close_to_scale(ra[k], r0[k], f"delta_rows[{k}]")
 
     # precomputed latents: the inversion + reconstruction chains
-    def _pairs(work):
-        d = os.path.join(work, "precomputed")
-        files = sorted(f for f in os.listdir(d) if f.endswith(".npz"))
-        assert files, d
-        return {f: np.load(os.path.join(d, f)) for f in files}
-
-    pa = _pairs(sp_work)
-    p0, p1 = _pairs(str(ws / "mp0")), _pairs(str(ws / "mp1"))
+    pa = load_pairs_npz(sp_work)
+    p0, p1 = load_pairs_npz(ws / "mp0"), load_pairs_npz(ws / "mp1")
     assert list(pa) == list(p0) == list(p1)
     for name in pa:
         for key in ("x_lat", "x_rec"):
             np.testing.assert_array_equal(p0[name][key], p1[name][key])
-            _close(pa[name][key], p0[name][key], f"{name}:{key}")
+            close_to_scale(pa[name][key], p0[name][key], f"{name}:{key}")
