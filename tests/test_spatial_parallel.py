@@ -67,8 +67,35 @@ def test_spatially_sharded_edit_matches():
 
 def test_spatial_shard_guard():
     m = pmesh.make_mesh()
-    with pytest.raises(AssertionError):
+    # ValueError (not assert): must stay loud under python -O
+    with pytest.raises(ValueError, match="not divisible"):
         spatial_shard(m, jnp.zeros((1, 30, 32, 3)))  # 30 % 8 != 0
+
+
+def test_2d_mesh_compiles_to_collectives():
+    """The 2D (data, spatial) program must also contain real inter-chip
+    communication, and its output must stay sharded over BOTH axes."""
+    from asyrp_official_tpu.parallel.spatial import batch_spatial_shard
+
+    m = pmesh.make_mesh(4, spatial=2)
+    params = pmesh.replicate(m, SPEC.init(jax.random.PRNGKey(0)))
+    x0 = batch_spatial_shard(
+        m, jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3), jnp.float32)
+    )
+    seq = uniform_seq(4, 999)
+    invert = engine.make_invert(SPEC, SCHED, seq)
+    hlo = invert.lower(params, x0).compile().as_text()
+    found = [
+        op for op in
+        ("collective-permute", "all-reduce", "all-gather", "reduce-scatter")
+        if op in hlo
+    ]
+    assert found, "no collectives in the 2D-sharded program"
+    out, _ = invert(params, x0)
+    assert not out.sharding.is_fully_replicated
+    # height stays split over 'spatial' and batch over 'data'
+    spec = out.sharding.spec
+    assert tuple(spec)[:2] == ("data", "spatial"), spec
 
 
 def test_spatial_tp_compiles_to_collectives():
