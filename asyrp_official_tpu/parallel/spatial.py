@@ -14,6 +14,12 @@ Usage (params replicated, input spatially sharded — engines unchanged):
     x = spatial_shard(mesh, x0)          # [B, H, W, C], H split over chips
     x_lat, _ = engine.make_invert(spec, sched, seq)(params, x)
 
+Throughput x latency composed — a 2D (data, spatial) mesh shards batch
+AND height simultaneously (the runner's `--dp D --sp S`):
+
+    mesh = pmesh.make_mesh(8, spatial=2)       # 4 image groups x 2-way split
+    x = batch_spatial_shard(mesh, x0)
+
 The compute path is pure XLA (GSPMD-partitionable everywhere); the compiled
 sharded program's collectives are asserted in tests/test_spatial_parallel.py.
 """
