@@ -69,6 +69,7 @@ def make_train_step(
     compute_dtype=jnp.float32,
     ignore_timesteps: bool = False,
     train_target: str = "blocks",  # 'blocks' (--train_delta_block) | 'rows' (--train_delta_h)
+    cached_origin: bool = False,
 ):
     """Returns jitted fn(params, edit, opt_state, x_lat, x0, it_out_lr)
     -> (edit, opt_state, metrics).
@@ -76,6 +77,17 @@ def make_train_step(
     `edit` carries the trainable leaves (blocks or delta_rows); everything
     else (frozen UNet `params`) gets no gradient — the compiled analog of
     the reference's requires_grad freezing (diffusion_latent.py:284-290).
+
+    `cached_origin=True` splits the no-grad plain-DDIM reference trajectory
+    (diffusion_latent.py:322-329) out of the step: the returned fn takes an
+    extra trailing `origins` argument (the [n_steps, B, H, W, C] x0_t_origin
+    stack from `fn.compute_origins(params, x_lat)`) and skips the plain UNet
+    forward per timestep. The origin trajectory depends only on the FROZEN
+    params and x_lat, so it is constant across outer iterations — the
+    reference recomputes it every iteration; computing it once per batch and
+    reusing it across `--n_iter` saves one plain forward per edit timestep
+    (~13% of the step) in every iteration after the first, with identical
+    training math.
     """
     table = generation_table(
         seq_train,
@@ -96,28 +108,52 @@ def make_train_step(
             **{**edit.__dict__, "delta_rows": r}
         )
 
-    def train_step(params, edit: EditState, opt_state, x_lat, x0, lr):
+    def plain_origin_step(params, x_orig, per_step):
+        """One reference plain-DDIM step, no grad (diffusion_latent.py:322-329)."""
+        bsz = x_orig.shape[0]
+        t_i, t_next_i, *_ = per_step
+        t_b = jnp.full((bsz,), t_i, jnp.float32)
+        at = jnp.full((bsz,), acp_ext[t_i + 1])
+        at_next = jnp.full((bsz,), acp_ext[t_next_i + 1])
+        eps_o_raw, *_ = spec.apply(params, x_orig.astype(compute_dtype), t_b)
+        if spec.learn_sigma:
+            eps_o_raw = eps_o_raw[..., : eps_o_raw.shape[-1] // 2]
+        eps_o = eps_o_raw.astype(jnp.float32)
+        return ddim_step(
+            x_orig, eps_o, eps_o, at, at_next, 0.0, jnp.zeros_like(x_orig)
+        )
+
+    def origin_trajectory(params, x_lat):
+        """The full x0_t_origin stack [n_steps, B, H, W, C] — constant in
+        the trainable Δ, so reusable across outer iterations."""
+
+        def body(x_orig, per_step):
+            x_orig_next, x0_t_origin = plain_origin_step(params, x_orig, per_step)
+            return x_orig_next, x0_t_origin
+
+        _, origins = jax.lax.scan(body, x_lat, arrays)
+        return origins
+
+    def train_step(params, edit: EditState, opt_state, x_lat, x0, lr,
+                   origins=None):
         bsz = x_lat.shape[0]
         trainable, rebuild = split_edit(edit)
 
-        def body(carry, per_step):
+        def body(carry, xs):
             x_edit, x_orig, trainable, opt_state = carry
+            if cached_origin:
+                per_step, x0_t_origin = xs
+                x_orig_next = x_orig  # unused carry leg in cached mode
+            else:
+                per_step = xs
+                x_orig_next, x0_t_origin = plain_origin_step(
+                    params, x_orig, per_step
+                )
             t_i, t_next_i, _, use_delta_i, delta_idx_i, step_i = per_step
             t_b = jnp.full((bsz,), t_i, jnp.float32)
             at = jnp.full((bsz,), acp_ext[t_i + 1])
             at_next = jnp.full((bsz,), acp_ext[t_next_i + 1])
             zero = jnp.zeros_like(x_edit)
-
-            # reference plain-DDIM step, no grad (diffusion_latent.py:322-329)
-            eps_o_raw, *_ = spec.apply(
-                params, x_orig.astype(compute_dtype), t_b
-            )
-            if spec.learn_sigma:
-                eps_o_raw = eps_o_raw[..., : eps_o_raw.shape[-1] // 2]
-            eps_o = eps_o_raw.astype(jnp.float32)
-            x_orig_next, x0_t_origin = ddim_step(
-                x_orig, eps_o, eps_o, at, at_next, 0.0, zero
-            )
 
             def step_loss(tr):
                 e = rebuild(tr).at_step(
@@ -151,8 +187,9 @@ def make_train_step(
             )
             return carry, loss
 
+        xs = (arrays, origins) if cached_origin else arrays
         (x_fin, _, trainable, opt_state), losses = jax.lax.scan(
-            body, (x_lat, x_lat, trainable, opt_state), arrays
+            body, (x_lat, x_lat, trainable, opt_state), xs
         )
         edit = rebuild(trainable)
         return edit, opt_state, {"loss_per_step": losses, "loss": losses.mean()}
@@ -171,9 +208,18 @@ def make_train_step(
         a = jnp.asarray(x)
         return a.astype(a.dtype) if a.aval.weak_type else a
 
-    def run(params, edit, opt_state, x_lat, x0, lr):
-        edit, opt_state = jax.tree.map(_strengthen, (edit, opt_state))
-        return jit_step(params, edit, opt_state, x_lat, x0, jnp.float32(lr))
+    if cached_origin:
+        def run(params, edit, opt_state, x_lat, x0, lr, origins):
+            edit, opt_state = jax.tree.map(_strengthen, (edit, opt_state))
+            return jit_step(
+                params, edit, opt_state, x_lat, x0, jnp.float32(lr), origins
+            )
+
+        run.compute_origins = jax.jit(origin_trajectory)
+    else:
+        def run(params, edit, opt_state, x_lat, x0, lr):
+            edit, opt_state = jax.tree.map(_strengthen, (edit, opt_state))
+            return jit_step(params, edit, opt_state, x_lat, x0, jnp.float32(lr))
 
     run.cache_size = jit_step._cache_size  # regression hook: must stay 1
     return run

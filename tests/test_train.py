@@ -93,3 +93,50 @@ def test_train_step_feedback_does_not_recompile(setup):
     for _ in range(3):
         edit, opt_state, _ = step(params, edit, opt_state, x_lat, x0, 0.005)
     assert step.cache_size() == 1, step.cache_size()
+
+
+def test_cached_origin_matches_recompute(setup):
+    """cached_origin=True (origin trajectory computed once per batch and fed
+    in) must train identically to the in-step recompute: the plain-DDIM
+    reference trajectory depends only on the frozen params and x_lat
+    (diffusion_latent.py:322-329), so splitting it out changes scheduling,
+    not math. Checked for both train targets over 3 outer iterations."""
+    params, seq, x_lat, x0 = setup
+    for target in ("blocks", "rows"):
+        if target == "blocks":
+            block = delta_block_init(jax.random.PRNGKey(7), CFG.bottleneck_ch, CFG.temb_ch)
+            edit0 = EditState(blocks=(block,), hs_coeff=jnp.array([1.0, 1.0]))
+            trainable0 = edit0.blocks
+        else:
+            rows = 0.2 * jax.random.normal(
+                jax.random.PRNGKey(8), (len(seq), 16, 16, CFG.bottleneck_ch)
+            )
+            edit0 = EditState(
+                mode="input", delta_rows=rows, hs_coeff=jnp.array([1.0, 1.0]),
+                input_style="add",
+            )
+            trainable0 = edit0.delta_rows
+        opt = tr.make_optimizer(0.005, 1, 1.0)
+        step_rc = tr.make_train_step(
+            SPEC, SCHED, seq, t_edit=500, optimizer=opt, train_target=target
+        )
+        step_co = tr.make_train_step(
+            SPEC, SCHED, seq, t_edit=500, optimizer=opt, train_target=target,
+            cached_origin=True,
+        )
+        origins = step_co.compute_origins(params, x_lat)
+        assert origins.shape[0] == len(seq)
+
+        e_rc, s_rc = edit0, opt.init(trainable0)
+        e_co, s_co = edit0, opt.init(trainable0)
+        for _ in range(3):
+            e_rc, s_rc, m_rc = step_rc(params, e_rc, s_rc, x_lat, x0, 0.005)
+            e_co, s_co, m_co = step_co(params, e_co, s_co, x_lat, x0, 0.005, origins)
+            np.testing.assert_allclose(
+                np.asarray(m_rc["loss_per_step"]),
+                np.asarray(m_co["loss_per_step"]), rtol=0, atol=1e-6,
+            )
+        got = e_co.blocks if target == "blocks" else e_co.delta_rows
+        want = e_rc.blocks if target == "blocks" else e_rc.delta_rows
+        for a_, b_ in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+            np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), atol=2e-6)
