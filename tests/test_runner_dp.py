@@ -40,9 +40,9 @@ def _grids(root):
     )
 
 
-def _ckpt(root):
+def _ckpt(root, it=0):
     d = os.path.join(root, "checkpoint")
-    return os.path.join(d, [c for c in os.listdir(d) if c.endswith("_0.pth")][0])
+    return os.path.join(d, [c for c in os.listdir(d) if c.endswith(f"_{it}.pth")][0])
 
 
 def _run(ws, work, extra_train=(), extra_test=()):
@@ -57,13 +57,17 @@ def _run(ws, work, extra_train=(), extra_test=()):
 def test_dp_runner_matches_single_device(ws):
     from asyrp_official_tpu.compat.delta_ckpt import load_delta_checkpoint
 
-    _run(ws, "sd")
-    _run(ws, "dp", extra_train=["--dp", "2"], extra_test=["--dp", "2"])
+    # --n_iter 2 engages the origin-trajectory cache on BOTH sides, so this
+    # also pins the sharded cached-origin training path against
+    # single-device (iteration-1 checkpoints compared below)
+    _run(ws, "sd", extra_train=["--n_iter", "2"])
+    _run(ws, "dp", extra_train=["--dp", "2", "--n_iter", "2"],
+         extra_test=["--dp", "2"])
 
     # Δ checkpoint parity: the sharded training step (grad psum over the
     # mesh) must land on the same parameters
-    a = load_delta_checkpoint(_ckpt(ws / "sd"))
-    b = load_delta_checkpoint(_ckpt(ws / "dp"))
+    a = load_delta_checkpoint(_ckpt(ws / "sd", 1))
+    b = load_delta_checkpoint(_ckpt(ws / "dp", 1))
     flat_a = jax.tree.leaves(a["blocks"])
     flat_b = jax.tree.leaves(b["blocks"])
     assert len(flat_a) == len(flat_b) > 0  # zip must not truncate silently
