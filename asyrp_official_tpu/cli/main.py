@@ -77,7 +77,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     # config / experiment
     add("--config", type=str, required=True, help="config yml name or path")
-    add("--exp", type=str, default="./runs/exp")
+    add("--exp", type=str, default="./runs/")
     add("--comment", type=str, default="")
     add("--seed", type=int, default=1234)
     add("--verbose", type=str, default="info")
@@ -85,7 +85,7 @@ def build_parser() -> argparse.ArgumentParser:
     # bare `--ni` form working alongside the reference's `--ni 1`
     add("--ni", nargs="?", const=1, default=1, type=int,
         help="no interaction (overwrite folders)")
-    add("--sh_file_name", type=str, default="")
+    add("--sh_file_name", type=str, default="script.sh")
     add("--bf16", action="store_true", help="run the UNet in bfloat16")
     add("--trace_dir", type=str, default=None,
         help="write a TensorBoard-loadable jax.profiler device-timeline "
@@ -117,7 +117,7 @@ def build_parser() -> argparse.ArgumentParser:
     # trajectory
     add("--t_0", type=int, default=999)
     add("--n_inv_step", type=int, default=40)
-    add("--n_train_step", type=int, default=40)
+    add("--n_train_step", type=int, default=6)
     add("--n_test_step", type=int, default=40)
     add("--sample_type", type=str, default="ddim", choices=["ddim", "ddpm"])
     add("--eta", type=float, default=0.0)
@@ -140,17 +140,17 @@ def build_parser() -> argparse.ArgumentParser:
     add("--bs_train", type=int, default=1)
     add("--bs_test", type=int, default=1)  # undispatched in the reference too (CLIP-finetune leftover, main.py:179); listed by --list_vestigial
     add("--n_precomp_img", type=int, default=100)
-    add("--n_train_img", type=int, default=100)
-    add("--n_test_img", type=int, default=32)
-    add("--get_h_num", type=int, default=1)
-    add("--lr_training", type=float, default=0.5)
+    add("--n_train_img", type=int, default=50)
+    add("--n_test_img", type=int, default=10)
+    add("--get_h_num", type=int, default=0)
+    add("--lr_training", type=float, default=2e-1)
     add("--scheduler", type=int, default=1)
-    add("--scheduler_step_size", type=int, default=5)
+    add("--scheduler_step_size", type=int, default=3)
     add("--sch_gamma", type=float, default=0.1)
-    add("--clip_loss_w", type=float, default=1.0)
-    add("--l1_loss_w", type=float, default=3.0)
+    add("--clip_loss_w", type=float, default=3.0)
+    add("--l1_loss_w", type=float, default=0.0)
     add("--id_loss_w", type=float, default=0.0)
-    add("--clr_loss_w", type=float, default=0.0)
+    add("--clr_loss_w", type=float, default=3.0)
     add("--use_id_loss", action="store_true")
     add("--clip_model_name", type=str, default="ViT-B/16")
     add("--save_train_image", nargs="?", const=1, default=1, type=int)
@@ -158,15 +158,15 @@ def build_parser() -> argparse.ArgumentParser:
     add("--save_train_image_iter", type=int, default=1)
     add("--save_checkpoint_only_last_iter", action="store_true")
     add("--save_checkpoint_during_iter", action="store_true")
-    add("--save_checkpoint_step", type=int, default=10)
+    add("--save_checkpoint_step", type=int, default=200)
     add("--start_iter_when_you_use_pretrained", type=int, default=0)
     add("--shuffle_train_dataloader", action="store_true")
     add("--re_precompute", action="store_true")
     add("--use_x0_tensor", action="store_true")
 
     # interval
-    add("--user_defined_t_edit", type=int, default=0)
-    add("--user_defined_t_addnoise", type=int, default=0)
+    add("--user_defined_t_edit", type=int, default=None)
+    add("--user_defined_t_addnoise", type=int, default=None)
     add("--lpips_edit_th", type=float, default=0.33)
     add("--lpips_addnoise_th", type=float, default=0.1)
     add("--add_noise_from_xt", action="store_true")
@@ -177,7 +177,7 @@ def build_parser() -> argparse.ArgumentParser:
     add("--saved_random_noise", action="store_true")
     add("--delta_interpolation", action="store_true")
     add("--max_delta", type=float, default=1.0)
-    add("--min_delta", type=float, default=-1.0)
+    add("--min_delta", type=float, default=0.0)
     add("--num_delta", type=int, default=5)
     add("--hs_coeff_delta_h", type=float, default=1.0)
     add("--hs_coeff_origin_h", type=float, default=1.0)
@@ -189,25 +189,25 @@ def build_parser() -> argparse.ArgumentParser:
     add("--save_process_delta_h", action="store_true")
     add("--save_precomputed_images", action="store_true")
     add("--num_mean_of_delta_hs", type=int, default=0)
-    add("--multiple_attr", type=str, default=None)
-    add("--multiple_hs_coeff", type=str, default=None)
+    add("--multiple_attr", type=str, default="")
+    add("--multiple_hs_coeff", type=str, default="")
     add("--masked_h", nargs="?", const=True, type=str, default="")
     add("--use_mask", action="store_true")
-    add("--manual_checkpoint_name", type=str, default=None)
-    add("--choose_checkpoint_num", type=int, default=None)
+    add("--manual_checkpoint_name", type=str, default="")
+    add("--choose_checkpoint_num", type=str, default="")
     add("--load_from_checkpoint", type=str, default=None)
     add("--pass_editing", action="store_true")
     add("--dt_lambda", type=float, default=1.0)
-    add("--dt_end", type=int, default=999)
+    add("--dt_end", type=int, default=950)
     add("--model_ratio", type=float, default=1.0)
     add("--save_grid", action="store_true")
 
     # DiffStyle (reference parses these, main.py:191-203; dispatched here)
-    add("--content_dir", type=str, default="contents")
-    add("--style_dir", type=str, default="styles")
-    add("--save_dir", type=str, default=None)
-    add("--n_gen_step", type=int, default=0)
-    add("--content_replace_step", type=int, default=0)
+    add("--content_dir", type=str, default="./source_images/content")
+    add("--style_dir", type=str, default="./source_images/style")
+    add("--save_dir", type=str, default="./results")
+    add("--n_gen_step", type=int, default=1000)
+    add("--content_replace_step", type=int, default=50)
     add("--hs_coeff", type=float, default=0.9)
     add("--t_noise", type=int, default=0)
 
@@ -228,9 +228,9 @@ def build_parser() -> argparse.ArgumentParser:
              "value runs utils/align.run_alignment over the custom dirs. "
              "Off by default to preserve the reference's effective "
              "behavior (it never aligns)")
-    add("--custom_train_dataset_dir", type=str, default="train_images")
-    add("--custom_test_dataset_dir", type=str, default="test_images")
-    add("--custom_dataset_name", type=str, default="custom")
+    add("--custom_train_dataset_dir", type=str, default="./custom/train")
+    add("--custom_test_dataset_dir", type=str, default="./custom/test")
+    add("--custom_dataset_name", type=str, default="celeba")
     add("--clip_ckpt", type=str, default=None, help="OpenAI CLIP .pt/.pth")
     add("--ir_se50_ckpt", type=str, default=None, help="ArcFace weights")
     add("--lpips_ckpt", type=str, default=None, help="AlexNet+lin weights")

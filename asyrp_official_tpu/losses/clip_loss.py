@@ -39,7 +39,11 @@ def clip_preprocess(img: jnp.ndarray, resolution: int = 224) -> jnp.ndarray:
     b, h, w, c = x.shape
     if (h, w) != (resolution, resolution):
         x = jax.image.resize(x, (b, resolution, resolution, c), method="bicubic")
-    x = jnp.clip(x, 0.0, 1.0)
+    # NO clamp: the reference's composed tensor pipeline (un-normalize →
+    # Resize → CenterCrop → Normalize, losses/clip_loss.py:39-41) never
+    # clips, so out-of-range diffusion outputs flow through unchanged —
+    # clamping here would diverge from the reference loss on any x0_t
+    # outside [-1, 1]
     return (x - CLIP_MEAN) / CLIP_STD
 
 

@@ -498,6 +498,14 @@ class AsyrpRunner:
         # carry stale SDEdit model sections that spec_from_config ignores
         bottleneck_hw = self.spec.bottleneck_hw
         extra_blocks = ()
+        if train_target == "blocks" and a.get_h_num < 1:
+            # reference parity: get_h_num defaults to 0 (main.py:185) and
+            # --train_delta_block without it crashes torch's SGD with
+            # "optimizer got an empty parameter list" — fail as loudly
+            raise ValueError(
+                "--train_delta_block needs --get_h_num >= 1 (the reference "
+                "default 0 leaves the optimizer with no parameters)"
+            )
         with jax.default_device(jax.local_devices(backend="cpu")[0]):
             if train_target == "blocks":
                 blocks = tuple(

@@ -72,6 +72,9 @@ def tiny_base_argv(
         "--bs_train", str(bs_train),
         "--user_defined_t_edit", "500", "--user_defined_t_addnoise", "100",
         "--lr_training", "0.01", "--n_iter", "1", "--clip_loss_w", "0",
+        # reference-faithful defaults (get_h_num=0, l1_loss_w=0) train
+        # nothing — the tiny recipes opt into the reference scripts' values
+        "--get_h_num", "1", "--l1_loss_w", "3.0",
         "--ni",
     ]
     if allow_random_weights:
