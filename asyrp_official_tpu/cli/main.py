@@ -29,8 +29,8 @@ VESTIGIAL_FLAGS = [
     # parsed-but-undispatched reference flags, scattered through
     # main.py:31-226 (the dispatched flags are declared separately below)
     "do_alternate", "style_transfer", "style_transfer_style_from_train_images",
-    "style_transfer_noise_from", "latent_classifier", "warigari", "attr_index",
-    "classification_results_file_name", "clip_finetune", "global_clip",
+    "latent_classifier", "warigari", "attr_index",
+    "clip_finetune", "global_clip",
     "run_origin", "latent_at", "test_celeba_dialog", "latent_clr",
     "eval_latent_clr", "interpolation", "interpolation2", "clip_latent_optim",
     "edit_images_from_dataset", "edit_one_image", "unseen2unseen",
@@ -40,7 +40,7 @@ VESTIGIAL_FLAGS = [
     "l1_loss_with_x0", "pass_origin_and_save_real_image",
     "style_transfer_use_mean", "analysis", "run_optimize_delta_h",
     "run_test_pretrained_self_delta_h", "test_pretrained_at_once",
-    "hybrid_noise", "deterministic_inv",
+    "hybrid_noise",
     # incomplete reference research modes: parsed, checked in
     # run_training/save_image, but their image_space_noise_dict is
     # never populated by any reference path (diffusion_latent.py:451)
@@ -55,6 +55,10 @@ VESTIGIAL_VALUE_FLAGS = [
     "bs_test", "rambda", "LPIPS_addnoise_th", "n_test_pretrained_inv_step",
     "lr_clip_finetune", "lr_latent_clr", "lr_clip_lat_opt", "var",
     "maintain", "maintain_min", "interpolation_step",
+    # truthy reference defaults — declared with them so a default-sensitive
+    # script diff is byte-faithful (test_cli_defaults_parity)
+    "deterministic_inv", "style_transfer_noise_from",
+    "classification_results_file_name",
 ]
 
 
@@ -248,6 +252,11 @@ def build_parser() -> argparse.ArgumentParser:
     add("--maintain", type=int, default=400, help=argparse.SUPPRESS)
     add("--maintain_min", type=int, default=50, help=argparse.SUPPRESS)
     add("--interpolation_step", type=int, default=4, help=argparse.SUPPRESS)
+    add("--deterministic_inv", type=int, default=1, help=argparse.SUPPRESS)
+    add("--style_transfer_noise_from", type=str, default="contents",
+        help=argparse.SUPPRESS)
+    add("--classification_results_file_name", type=str,
+        default="classification_results", help=argparse.SUPPRESS)
 
     # vestigial (accepted, no dispatch — reference parity)
     for flag in VESTIGIAL_FLAGS:

@@ -246,29 +246,48 @@ def apply_edit(edit: EditState, h: jnp.ndarray, temb: jnp.ndarray):
     # coefficients arrive f32; h may be bf16 — without the cast `h *
     # hs_coeff[0]` promotes h2 to f32 and the whole edited decode runs f32
     hs_coeff = jnp.asarray(hs_coeff).astype(h.dtype)
+    # [B, K] = PER-SAMPLE coefficients: one compiled chain evaluates a whole
+    # --delta_interpolation sweep batched along the batch axis (the
+    # reference loops full chains per coefficient, diffusion_latent.py:
+    # 500-534 x :726-755); supported for the linear injections (deltablock,
+    # input/add) — the slerp/mask styles keep the per-coeff loop
+    per_sample = hs_coeff.ndim == 2
+    n_coeff = hs_coeff.shape[-1] if per_sample else hs_coeff.shape[0]
+
+    def _c(i):
+        if per_sample:
+            return hs_coeff[:, i].reshape((-1,) + (1,) * (h.ndim - 1))
+        return hs_coeff[i]
+
     delta_h = None
 
     if edit.mode == "deltablock":
-        assert hs_coeff.shape[0] >= len(edit.blocks) + 1, (
+        assert n_coeff >= len(edit.blocks) + 1, (
             f"hs_coeff needs {len(edit.blocks) + 1} entries (original-h + one "
-            f"per block), got {hs_coeff.shape[0]} — JAX would silently clamp"
+            f"per block), got {n_coeff} — JAX would silently clamp"
         )
         temb_in = None if edit.ignore_timestep else temb
-        h2 = h * hs_coeff[0]
+        h2 = h * _c(0)
         for i, bp in enumerate(edit.blocks):
             delta_h = delta_block_apply(bp, h, temb_in, flavor=edit.flavor)
-            h2 = h2 + delta_h * hs_coeff[i + 1]
+            h2 = h2 + delta_h * _c(i + 1)
     elif edit.mode == "input":
         # mode="clip": a mis-specified delta_idx must degrade to a wrong-but-
         # finite row, never to NaN fill (jnp.take's default OOB behavior)
         row = jnp.take(edit.delta_rows, edit.delta_idx, axis=0, mode="clip")
         delta_h = jnp.broadcast_to(row[None], h.shape).astype(h.dtype)
         if edit.input_style == "add":
-            assert hs_coeff.shape[0] >= 2, (
+            assert n_coeff >= 2, (
                 f"'add' injection needs hs_coeff = (c_h, c_delta), got "
-                f"{hs_coeff.shape[0]} entries — JAX would silently clamp"
+                f"{n_coeff} entries — JAX would silently clamp"
             )
-            h2 = h * hs_coeff[0] + delta_h * hs_coeff[1]
+            h2 = h * _c(0) + delta_h * _c(1)
+        elif per_sample:
+            raise ValueError(
+                "per-sample hs_coeff ([B, K]) is only supported for the "
+                "linear injections (deltablock, input/add) — the slerp/mask "
+                "styles would silently misread hs_coeff[0] as a row"
+            )
         elif edit.use_mask:
             # DiffStyle mask region (models/ddpm/diffusion.py:520-528);
             # reference NCHW [:, :, 4:-1, 3:5] → NHWC [:, 4:-1, 3:5, :].

@@ -11,12 +11,16 @@ intermediate image through a separate LPIPS forward (:1260-1263).
 """
 from __future__ import annotations
 
+import logging
 import os
+import time
 from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 from asyrp_official_tpu.core.ddim import ddim_step
 from asyrp_official_tpu.core.sampler import ScanArrays
@@ -110,10 +114,18 @@ def compute_lpips_distance(
                 if put is None
                 else put(chunk_in)
             )
+            t0 = time.perf_counter()
             d_x, d_x0t = chain(params, x0)
-            # slice off any mesh padding `put` added ([S, B] outputs)
+            # slice off any mesh padding `put` added ([S, B] outputs); the
+            # np.asarray host fetch is the honest completion barrier
             all_x.append(np.asarray(d_x)[:, : chunk.shape[0]])
             all_x0t.append(np.asarray(d_x0t)[:, : chunk.shape[0]])
+            dt = time.perf_counter() - t0
+            log.info(
+                "lpips chain batch of %d: %.0f ms (%.0f ms/image%s)",
+                chunk.shape[0], dt * 1e3, dt * 1e3 / chunk.shape[0],
+                "; incl. compile" if count == 0 else "",
+            )
             count += len(buf)
             buf = []
 

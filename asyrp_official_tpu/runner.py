@@ -873,30 +873,64 @@ class AsyrpRunner:
                 sample_type=a.sample_type, dt_lambda=a.dt_lambda,
                 dt_end=a.dt_end, collect=collect,
             )
-            for coeff in hs_coeff_list or [None]:
-                if coeff is None:
-                    # no sweep: pass the already-committed/replicated edit
-                    # through untouched (a host round-trip + uncommitted
-                    # hs_coeff leaf here cost a slow relay dispatch PER
-                    # batch)
-                    e = edit
-                else:
-                    e = dataclasses.replace(
-                        edit,
-                        hs_coeff=self._replicate(jnp.asarray(coeff, jnp.float32)),
-                    )
-                x, ys = run(params, e, x_dev, rng)
-                rows.append(pmesh.fetch(x)[:n_real])
+            coeff_items = list(hs_coeff_list) if hs_coeff_list else [None]
+            # multi-coefficient sweeps batch into ONE compiled chain: all
+            # coefficients share xT and the frozen params, and hs_coeff is
+            # an EditState leaf — stacking the sweep along the batch axis
+            # replaces N sequential chains with ~N/chunk dispatches at
+            # batch-efficiency (the reference serializes one full chain per
+            # coefficient, diffusion_latent.py:500-534 x :726-755). Linear
+            # injections only; spatial meshes, process dumps, and the
+            # slerp/mask styles keep the per-coefficient loop.
+            can_batch = (
+                len(coeff_items) > 1
+                and (
+                    edit.mode == "deltablock"
+                    or (edit.mode == "input" and edit.input_style == "add")
+                )
+                and not getattr(a, "save_process_delta_h", False)
+                and not (self.sp or self.tp_spatial)
+                and not os.environ.get("ASYRP_TPU_NO_BATCHED_SWEEP")
+            )
+            if can_batch:
+                new_rows, h_new = self._batched_sweep(
+                    run, params, edit, x_lat, coeff_items, rng,
+                    collect_delta=collect_delta,
+                )
+                rows += new_rows
                 if collect_delta:
-                    # [S, B, h, w, C], un-padded batch; SUMMED over coeff
-                    # passes — the reference accumulates delta_h_dict[t] +=
-                    # delta_h inside the per-hs_coeff loop and divides by
-                    # the image count only (diffusion_latent.py:528-532,
-                    # :811-815)
-                    h_new = pmesh.fetch(ys["delta_h"])[:, :n_real]
                     harvested = h_new if harvested is None else harvested + h_new
-                if getattr(a, "save_process_delta_h", False):
-                    self._dump_process(ys, seq, folder, file_name, "delta_h", n_real)
+            else:
+                for coeff in coeff_items:
+                    if coeff is None:
+                        # no sweep: pass the already-committed/replicated
+                        # edit through untouched (a host round-trip +
+                        # uncommitted hs_coeff leaf here cost a slow relay
+                        # dispatch PER batch)
+                        e = edit
+                    else:
+                        e = dataclasses.replace(
+                            edit,
+                            hs_coeff=self._replicate(
+                                jnp.asarray(coeff, jnp.float32)
+                            ),
+                        )
+                    x, ys = run(params, e, x_dev, rng)
+                    rows.append(pmesh.fetch(x)[:n_real])
+                    if collect_delta:
+                        # [S, B, h, w, C], un-padded batch; SUMMED over
+                        # coeff passes — the reference accumulates
+                        # delta_h_dict[t] += delta_h inside the per-hs_coeff
+                        # loop and divides by the image count only
+                        # (diffusion_latent.py:528-532, :811-815)
+                        h_new = pmesh.fetch(ys["delta_h"])[:, :n_real]
+                        harvested = (
+                            h_new if harvested is None else harvested + h_new
+                        )
+                    if getattr(a, "save_process_delta_h", False):
+                        self._dump_process(
+                            ys, seq, folder, file_name, "delta_h", n_real
+                        )
 
         if not rows:
             raise ValueError(
@@ -910,6 +944,54 @@ class AsyrpRunner:
         save_image(grid, out, nrow=max(1, x_lat.shape[0]), pm1=True)
         log.info("%s saved (%d rows)", out, len(rows))
         return harvested
+
+    def _batched_sweep(
+        self, run, params, edit, x_lat, coeffs, rng, *, collect_delta
+    ):
+        """Evaluate a multi-coefficient sweep as batched chains.
+
+        Tiles xT n_coeff times along the batch axis and attaches PER-SAMPLE
+        hs_coeff rows ([B, K] — models/delta.apply_edit broadcasts per
+        sample), chunked so each dispatch stays near the conv-bound
+        batch-efficiency knee (ASYRP_TPU_SWEEP_MAX_BATCH, default 16; every
+        chunk is padded to the same size so ONE compiled program serves the
+        whole sweep). Returns (rows, harvested) shaped exactly like the
+        per-coefficient loop's output. Eta-boost noise is drawn per batched
+        sample, where the loop reuses the same rng per pass — identical
+        whenever the boost window is off (the deterministic default)."""
+        a = self.args
+        x_lat = np.asarray(x_lat)
+        b = x_lat.shape[0]
+        cap = max(b, int(os.environ.get("ASYRP_TPU_SWEEP_MAX_BATCH", "16")))
+        group = max(1, cap // b)
+        rows, harvested = [], None
+        coeff_arr = np.asarray(coeffs, np.float32)  # [N, K]
+        for ofs in range(0, len(coeffs), group):
+            chunk = coeff_arr[ofs : ofs + group]
+            n = chunk.shape[0]
+            if n < group and ofs:  # pad the tail chunk: reuse the compile
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], group - n, axis=0)]
+                )
+            xt = np.tile(x_lat, (chunk.shape[0], 1, 1, 1))
+            per_sample = np.repeat(chunk, b, axis=0)  # [n*B, K]
+            x_dev, _ = self._put_padded(xt)
+            if x_dev.shape[0] != per_sample.shape[0]:  # mesh batch padding
+                pad = x_dev.shape[0] - per_sample.shape[0]
+                per_sample = np.concatenate(
+                    [per_sample, np.repeat(per_sample[-1:], pad, axis=0)]
+                )
+            e = dataclasses.replace(
+                edit, hs_coeff=self._put(jnp.asarray(per_sample))
+            )
+            x, ys = run(params, e, x_dev, rng)
+            xs = pmesh.fetch(x)[: n * b].reshape((n, b) + x_lat.shape[1:])
+            rows += list(xs)
+            if collect_delta:
+                h = pmesh.fetch(ys["delta_h"])[:, : n * b]  # [S, n*B, ...]
+                h = h.reshape((h.shape[0], n, b) + h.shape[2:]).sum(axis=1)
+                harvested = h if harvested is None else harvested + h
+        return rows, harvested
 
     def _cached_engine(self, kind: str, seq: tuple, **kw):
         """Engines are compiled programs — one compilation must serve the
@@ -1145,6 +1227,21 @@ class AsyrpRunner:
                     s = h.sum(axis=1)  # [S, h, w, C] summed over batch
                     harvest_sum = s if harvest_sum is None else harvest_sum + s
                     n_done += xb.shape[0]
+                    if n_done >= mean_dh_pending and ofs + a.bs_train >= n_img:
+                        # reference quirk, preserved: its per-image loop
+                        # BREAKS on the last train image BEFORE the
+                        # mean-save check (diffusion_latent.py:803-806 vs
+                        # :808-828), so num_mean_of_delta_hs >= n_train_img
+                        # harvests everything and saves NOTHING — cross-
+                        # executed in test_reference_product_parity.py
+                        log.warning(
+                            "mean-of-delta-hs harvest complete but NOT "
+                            "saved: the harvest finished on the last train "
+                            "image and the reference's loop breaks before "
+                            "its save (diffusion_latent.py:803-828) — use "
+                            "--num_mean_of_delta_hs < --n_train_img"
+                        )
+                        break
                     if n_done >= mean_dh_pending:
                         # per-t mean then global mean
                         # (diffusion_latent.py:810-835)

@@ -40,7 +40,7 @@ exec python main.py \
   --custom_train_dataset_dir "$WS/imgs" \
   --custom_test_dataset_dir "$WS/imgs" \
   --work_dir "$WS/w" \
-  --run_train --train_delta_block --do_test 0 \
+  --run_train --train_delta_block --get_h_num 1 --do_test 0 \
   --n_inv_step 40 --n_train_step 40 --n_test_step 40 \
   --n_train_img 2 --n_test_img 2 --bs_train 1 \
   --user_defined_t_edit 516 --user_defined_t_addnoise 200 \

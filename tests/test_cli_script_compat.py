@@ -95,7 +95,20 @@ def test_repo_script_flags_parse(name):
         # the capture runbook times the weight-independent training step
         # in an egress-blocked env: random init, trace on, 2 iterations
         assert args.run_train and args.trace_dir and args.allow_random_weights
-        assert args.n_iter == 2
+        assert args.n_iter == 2 and args.get_h_num == 1
+        return
+    if name == "chip_lpips_capture.sh":
+        # on-chip `--lpips` calibration-stage capture at production shape
+        # (VERDICT r3 item 4): random weights, full 1000-step inversion
+        assert args.lpips and args.lpips_ckpt and args.allow_random_weights
+        assert args.n_inv_step == 1000 and args.bf16
+        return
+    if name == "chip_train_bs_scaling.sh":
+        # bs>1 training-scaling capture (VERDICT r3 item 5): the stub
+        # captures all four bs runs' argv concatenated; last-wins parse
+        assert args.run_train and args.allow_random_weights and args.bf16
+        assert args.bs_train == args.n_train_img and args.n_iter == 2
+        assert args.get_h_num == 1
         return
     assert args.model_path  # real-weights path, no randoms
     if name == "lpips.sh":

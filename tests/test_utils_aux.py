@@ -125,9 +125,15 @@ def test_download_registry():
 
 
 def test_prepare_lmdb_gated():
+    """No real lmdb in this image → prepare() must fail LOUDLY. Plain run:
+    ImportError from the gate. Full-suite run: the reference cross-execution
+    puts tests/refshims on sys.path (its lmdb placeholder satisfies the
+    reference datasets' import-time `import lmdb`), so the failure surfaces
+    as the placeholder's RuntimeError instead — equally loud, same
+    contract."""
     from asyrp_official_tpu.data.prepare_lmdb import prepare
 
-    with pytest.raises(ImportError):
+    with pytest.raises((ImportError, RuntimeError), match="lmdb"):
         prepare("/tmp/nope", "/tmp")
 
 
