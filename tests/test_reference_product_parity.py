@@ -237,7 +237,7 @@ def ws(tmp_path_factory):
     return root
 
 
-def _exec_reference(ws, extra, mode):
+def _exec_reference(ws, extra, mode, refdir="refws", model="model.pth"):
     """Parse through the reference's real main.py, then call the Asyrp
     method directly (main.py:330-339 swallows exceptions into logging —
     calling run_test/run_training ourselves lets failures propagate)."""
@@ -245,10 +245,10 @@ def _exec_reference(ws, extra, mode):
     argv = ["main.py"] + BASE_ARGS + [
         "--custom_train_dataset_dir", str(ws / "train_imgs"),
         "--custom_test_dataset_dir", str(ws / "test_imgs"),
-        "--model_path", str(ws / "model.pth"),
+        "--model_path", str(ws / model),
         "--exp", "./runs/cx",
     ] + extra
-    with _chdir(ws / "refws"):
+    with _chdir(ws / refdir):
         old_argv = sys.argv
         sys.argv = argv
         try:
@@ -265,16 +265,16 @@ def _exec_reference(ws, extra, mode):
     return args
 
 
-def _exec_ours(ws, extra):
+def _exec_ours(ws, extra, ourdir="ours", model="model.pth"):
     from asyrp_official_tpu.cli.main import main as cli_main
 
-    workdir = str(ws / "ours")
+    workdir = str(ws / ourdir)
     argv = BASE_ARGS[:]
-    argv[argv.index("cx.yml")] = str(ws / "ours" / "cx.yml")
+    argv[argv.index("cx.yml")] = str(ws / ourdir / "cx.yml")
     argv += [
         "--custom_train_dataset_dir", str(ws / "train_imgs"),
         "--custom_test_dataset_dir", str(ws / "test_imgs"),
-        "--model_path", str(ws / "model.pth"),
+        "--model_path", str(ws / model),
         "--clip_ckpt", str(ws / "clip_openai.pth"),
         "--work_dir", workdir,
         "--exp", os.path.join(workdir, "runs", "cx"),
@@ -541,6 +541,115 @@ def test_multi_attr_mixing_parity(ws):
     ref_png = ws / "refws" / "runs" / EXP_ID / "test_images" / "5" / name
     our_png = ws / "ours" / "runs" / EXP_ID / "test_images" / "5" / name
     _assert_grids_match(str(ref_png), str(our_png), "multi-attr grid")
+
+
+# ---------------------------------------------------------------------------
+# 4b) run_training --train_delta_h is a NO-OP upstream: the training step
+#     routes the Δh rows through the published slerp branch
+#     (models/ddpm/diffusion.py:517-539) at the hardcoded training
+#     hs_coeff=(1.0, 1.0) (diffusion_latent.py:205), and slerp(0, h, ·) is
+#     a bitwise-identity forward with a bitwise-ZERO gradient to the rows
+#     (s1 = sin(theta_0*0)/sin(theta_0) == 0 exactly; empirically verified
+#     before pinning). Executed here: the reference trains a full iteration
+#     TWICE, at lr 0.01 and lr 10.0, and saves bit-identical rows — a
+#     1000x lr change moving nothing IS a zero update. Our
+#     --delta_injection slerp reproduces the dead mode the same way; the
+#     'add' default is the documented deviation that makes the mode
+#     trainable (MIGRATION.md).
+#
+#     Needs its OWN workspace: the reference hardcodes the rows at
+#     (512, 8, 8) ("h_dim is hard coded to be 512",
+#     diffusion_latent.py:186-191), so the shared ws bottleneck
+#     (128 x 32 x 32) crashes slerp's view before the no-op is reached.
+#     CH_MULT=[1,1,2,2,4,16] keeps ch=32 tiny while landing the mid block
+#     exactly at 512 x 8 x 8 for the CUSTOM path's mandatory 256^2 input.
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def ws8(ws):
+    ch_mult8 = [1, 1, 2, 2, 4, 16]
+    yml = REF_YML.replace(f"ch_mult: {CH_MULT}", f"ch_mult: {ch_mult8}")
+    for side in ("refws8", "ours8"):
+        d = ws / side
+        d.mkdir(exist_ok=True)
+    (ws / "refws8" / "configs").mkdir(exist_ok=True)
+    (ws / "refws8" / "configs" / "cx.yml").write_text(yml)
+    (ws / "ours8" / "cx.yml").write_text(yml)
+    (ws / "refws8" / "script.sh").write_text("# placeholder\n")
+
+    from types import SimpleNamespace
+
+    from models.ddpm.diffusion import DDPM
+
+    cfg = SimpleNamespace(
+        model=SimpleNamespace(
+            ch=CH, out_ch=3, ch_mult=ch_mult8, num_res_blocks=1,
+            attn_resolutions=[16], dropout=0.0, in_channels=3,
+            resamp_with_conv=True,
+        ),
+        data=SimpleNamespace(image_size=IMG),
+    )
+    torch.manual_seed(7)
+    torch.save(DDPM(cfg).state_dict(), ws / "model8.pth")
+    return ws
+
+
+def _delta_h_rows_after_ref_train(ws, lr):
+    ck = ws / "refws8" / "checkpoint" / f"{EXP_ID}_0.pth"
+    if ck.exists():
+        ck.unlink()
+    extra = ["--run_train", "--train_delta_h",
+             "--n_test_step", "4", "--n_iter", "1", "--retrain", "1",
+             "--lr_training", lr, "--l1_loss_w", "3.0",
+             "--clip_loss_w", "0.8",
+             "--do_train", "1", "--do_test", "0", "--save_train_image", "0"]
+    _exec_reference(ws, extra, mode="train", refdir="refws8", model="model8.pth")
+    d = torch.load(str(ck), map_location="cpu", weights_only=False)
+    return {
+        k: v.detach().numpy()
+        for k, v in d.items()
+        if hasattr(v, "detach") and k not in ("optimizer", "scheduler")
+    }
+
+
+def test_train_delta_h_is_noop_under_published_slerp(ws8):
+    ws = ws8
+    rows_ref = {lr: _delta_h_rows_after_ref_train(ws, lr)
+                for lr in ("0.01", "10.0")}
+    # the trained rows exist (seq_train >= t_edit=500 -> t in {666, 999})
+    # and a 1000x lr change moved NOTHING: bitwise-zero gradient
+    assert sorted(rows_ref["0.01"]) == sorted(rows_ref["10.0"])
+    assert any(k in rows_ref["0.01"] for k in ("666", 666)), rows_ref["0.01"].keys()
+    for k in rows_ref["0.01"]:
+        np.testing.assert_array_equal(
+            rows_ref["0.01"][k], rows_ref["10.0"][k],
+            err_msg=f"reference rows[{k}] moved — slerp no-op assumption broken",
+        )
+
+    # ours under --delta_injection slerp: identical saved rows at lr 0.01
+    # and lr 10.0 == the same dead mode
+    from asyrp_official_tpu.compat.delta_ckpt import load_delta_checkpoint
+
+    rows_by_lr = {}
+    for lr in ("0.01", "10.0"):
+        ck = ws / "ours8" / "checkpoint" / f"{EXP_ID}_0.pth"
+        if ck.exists():
+            ck.unlink()
+        extra = ["--run_train", "--train_delta_h",
+                 "--n_test_step", "4", "--n_iter", "1", "--retrain", "1",
+                 "--lr_training", lr, "--l1_loss_w", "3.0",
+                 "--clip_loss_w", "0.8",
+                 "--do_train", "1", "--do_test", "0", "--save_train_image", "0",
+                 "--delta_injection", "slerp"]
+        _exec_ours(ws, extra, ourdir="ours8", model="model8.pth")
+        rows_by_lr[lr] = {
+            k: np.asarray(v)
+            for k, v in load_delta_checkpoint(str(ck))["delta_rows"].items()
+        }
+    assert sorted(rows_by_lr["0.01"]) == sorted(rows_by_lr["10.0"])
+    for k in rows_by_lr["0.01"]:
+        np.testing.assert_array_equal(
+            rows_by_lr["0.01"][k], rows_by_lr["10.0"][k], err_msg=str(k)
+        )
 
 
 # ---------------------------------------------------------------------------
