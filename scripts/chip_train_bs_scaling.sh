@@ -49,7 +49,7 @@ for BS in "${BSL[@]}"; do
     --n_inv_step 40 --n_train_step 40 --n_test_step 40 \
     --n_train_img "$BS" --n_test_img 1 --bs_train "$BS" \
     --user_defined_t_edit 516 --user_defined_t_addnoise 200 \
-    --lr_training 0.5 --n_iter 2 \
+    --lr_training 0.5 --n_iter 3 \
     --clip_loss_w 0 --id_loss_w 0 --l1_loss_w 3.0 \
     --seed 0 --ni --allow_random_weights --bf16
 done
