@@ -280,13 +280,24 @@ def apply(
     x: jnp.ndarray,
     t: jnp.ndarray,
     edit: Optional[EditState] = None,
+    decode_mode: str = "auto",
 ):
     """Full forward. `x` is [B, H, W, C] NHWC; `t` is [B] float timesteps.
 
     With `edit`, both eps and eps_mod are produced via ONE decode over the
     2B stacked batch (fusing the reference's two sequential decoder passes,
-    models/ddpm/diffusion.py:544-578).
+    models/ddpm/diffusion.py:544-578). `decode_mode="split"` forces two
+    B-sized decodes instead: identical math (batching is per-sample
+    independent), but under `jax.grad` the plain decode carries no
+    dependence on the trainable Δ, so XLA drops its entire backward (and
+    remat recompute) — with the 2B stack the zero cotangent of the plain
+    rows is invisible to AD and the backward runs at 2B. Training defaults
+    to "split": measured 1.50x (bs2) / 1.40x (bs8) per-image on-chip;
+    stacked wins 1.09x only at bs4 where 2B=8 is the v5e conv sweet spot
+    (BASELINE.md round 4).
     """
+    if decode_mode not in ("auto", "split"):
+        raise ValueError(f"decode_mode must be 'auto'|'split', got {decode_mode!r}")
     assert x.shape[1] == x.shape[2] == cfg.resolution, (
         f"expected {cfg.resolution}, got {x.shape}"
     )
@@ -303,7 +314,7 @@ def apply(
         return eps, None, None, middle_h
 
     h2, delta_h = apply_edit(edit, h, temb)
-    if x.shape[0] == 1:
+    if x.shape[0] == 1 or decode_mode == "split":
         # batch-1 serving: two batch-1 decodes beat one batch-2 stacked
         # decode — batch 2 is the v5e's least efficient conv batch
         # (16.3 ms/eval vs 13.8 at batch 1, BASELINE.md round 2); identical

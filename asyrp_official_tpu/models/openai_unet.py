@@ -341,10 +341,15 @@ def apply(
     edit: Optional[EditState] = None,
     y: Optional[jnp.ndarray] = None,
     plan: Optional[dict] = None,
+    decode_mode: str = "auto",
 ):
     """Forward matching UNetModel.forward (improved_ddpm/unet.py:676-752):
     returns (eps_raw, eps_mod_raw|None, delta_h|None, middle_h). Raw outputs
-    keep the 2*C learn-sigma channels — split in core/sampler.py."""
+    keep the 2*C learn-sigma channels — split in core/sampler.py.
+    `decode_mode="split"` forces two B-sized decodes so the grad-free plain
+    decode's backward is DCE'd under training (see models/ddpmpp.py apply)."""
+    if decode_mode not in ("auto", "split"):
+        raise ValueError(f"decode_mode must be 'auto'|'split', got {decode_mode!r}")
     plan = plan or build_plan(cfg)
     # cast the f32 embedding to the activation dtype — the per-block emb adds
     # otherwise promote a bf16 network back to f32 (see models/ddpmpp.py)
@@ -365,7 +370,7 @@ def apply(
         return eps, None, None, middle_h
 
     h2, delta_h = apply_edit(edit, h, emb)
-    if x.shape[0] == 1:
+    if x.shape[0] == 1 or decode_mode == "split":
         # batch-1 serving: two batch-1 decodes beat one batch-2 stacked
         # decode (see models/ddpmpp.py apply + BASELINE.md round 2)
         eps = _decode(params, plan, cfg, h, hs, emb)

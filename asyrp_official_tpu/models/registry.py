@@ -46,7 +46,7 @@ class ModelSpec:
 
     def apply(self, params, x, t, edit=None, **kw):
         if self.family == "ddpmpp":
-            return ddpmpp.apply(params, self.config, x, t, edit=edit)
+            return ddpmpp.apply(params, self.config, x, t, edit=edit, **kw)
         return openai_unet.apply(params, self.config, x, t, edit=edit, **kw)
 
     def params_from_torch(self, sd):

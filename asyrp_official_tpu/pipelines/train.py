@@ -17,6 +17,7 @@ params resident.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -97,6 +98,10 @@ def make_train_step(
     )
     arrays = ScanArrays.from_table(table)
     acp_ext = jnp.asarray(schedule.alphas_cumprod_ext)
+    # A/B knob for on-chip measurement only: "auto" re-selects the
+    # 2B-stacked dual decode at bs > 1 (the serving fusion) inside the
+    # grad path. Default "split" — see the step_loss comment below.
+    decode_mode = os.environ.get("ASYRP_TPU_TRAIN_DECODE", "split")
 
     def split_edit(edit: EditState):
         """Partition EditState into (trainable leaves, static rest)."""
@@ -159,8 +164,18 @@ def make_train_step(
                 e = rebuild(tr).at_step(
                     {"use_delta": use_delta_i, "delta_idx": delta_idx_i, "step": step_i}
                 )
+                # decode_mode="split": the plain decode (eps — feeds only
+                # x_next, never the loss) has no dependence on the trainable
+                # Δ when decoded separately, so XLA drops its backward and
+                # remat recompute entirely; the 2B-stacked decode would run
+                # both at 2B because AD can't see the zero cotangent of the
+                # plain rows inside the stack. Same-session chip A/B:
+                # split 1.50x at bs2, 1.40x at bs8; stacked wins 1.09x only
+                # at bs4, where its 2B=8 conv batch lands on the v5e conv
+                # sweet spot (BASELINE.md round 4; ASYRP_TPU_TRAIN_DECODE)
                 eps_raw, eps_mod_raw, _, _ = spec.apply(
-                    params, x_edit.astype(compute_dtype), t_b, edit=e
+                    params, x_edit.astype(compute_dtype), t_b, edit=e,
+                    decode_mode=decode_mode,
                 )
                 if spec.learn_sigma:
                     c = eps_raw.shape[-1] // 2

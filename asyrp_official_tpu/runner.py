@@ -134,6 +134,13 @@ class AsyrpRunner:
         self.args = args
         self.config = config
         self.spec = spec_from_config(config)
+        if getattr(args, "remat", False):
+            # product knob for the model-config remat flag bench.py sets
+            # directly — resblock activations recomputed in the backward
+            self.spec = dataclasses.replace(
+                self.spec,
+                config=dataclasses.replace(self.spec.config, remat=True),
+            )
         diff = config["diffusion"]
         self.schedule = make_schedule(
             num_timesteps=diff["num_diffusion_timesteps"],
@@ -1489,9 +1496,13 @@ class AsyrpRunner:
             d["dataset"], paths, category=d["category"], image_size=d["image_size"]
         )
         name = getattr(a, "custom_dataset_name", None) or _dataset_key(self.config)
+        # the reference processes n_train_img + 1 images: its loop breaks on
+        # `step == n_train_img` AFTER processing that step
+        # (diffusion_latent.py:1276-1278) — preserved so the published
+        # recipes produce the same averaged curves
         return compute_lpips_distance(
             self.spec, params, self.schedule, train_ds, self.lpips_params,
-            n_img=a.n_train_img, n_inv_step=a.n_inv_step, t_0=a.t_0,
+            n_img=a.n_train_img + 1, n_inv_step=a.n_inv_step, t_0=a.t_0,
             batch_size=a.bs_train, out_dir=self._dir("utils"),
             dataset_name=name, compute_dtype=self.compute_dtype,
             put=lambda c: self._put_padded(c)[0],
