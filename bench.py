@@ -444,6 +444,49 @@ def main():
                 f" {cstep_ms:.1f} ms/step ({cstep_ms / n_edit:.1f} "
                 f"ms/edit-timestep; first-fill incl. compile {fill_ms:.0f} "
                 f"ms; {step_ms / cstep_ms:.2f}x vs un-cached)")
+
+            # ---- batched training throughput (bs 8, split decode) --------
+            # bs8 per-image cost matches bs1 since the split-decode path
+            # (BASELINE.md round 4) — keep that on the driver record. Same
+            # cached-origin step fn, batch-8 inputs (one extra compile).
+            bs8 = 8
+            x_lat8 = jax.device_put(
+                jnp.asarray(np.random.RandomState(7).randn(bs8, 256, 256, 3),
+                            jnp.float32), dev,
+            )
+            x08 = jax.device_put(
+                jnp.asarray(np.random.RandomState(8).randn(bs8, 256, 256, 3),
+                            jnp.float32), dev,
+            )
+            with jax.default_device(jax.devices("cpu")[0]):
+                tblock8 = delta_block_init(
+                    jax.random.PRNGKey(3), tspec.bottleneck_ch, tspec.temb_ch
+                )
+            tedit8 = jax.device_put(
+                EditState(blocks=(tblock8,), hs_coeff=jnp.array([1.0, 1.0])),
+                dev,
+            )
+            opt_state8 = jax.device_put(opt.init(tedit8.blocks), dev)
+            org8 = tstep_c.compute_origins(params, x_lat8)
+            tedit8, opt_state8, m = tstep_c(
+                params, tedit8, opt_state8, x_lat8, x08, 0.5, org8
+            )
+            float(m["loss"])  # compile + warmup
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                tedit8, opt_state8, m = tstep_c(
+                    params, tedit8, opt_state8, x_lat8, x08, 0.5, org8
+                )
+                float(m["loss"])  # host fetch barrier
+                ts.append(time.perf_counter() - t0)
+            ts.sort()
+            b8_ms = ts[len(ts) // 2] * 1e3
+            extras["train_bs8_step_ms"] = round(b8_ms, 1)
+            extras["train_bs8_ms_per_image"] = round(b8_ms / bs8, 1)
+            log(f"batched training step (cached origin, bs {bs8}): "
+                f"{b8_ms:.0f} ms/step = {b8_ms / bs8:.0f} ms/image "
+                f"({cstep_ms / (b8_ms / bs8):.2f}x bs-1 per-image)")
     except Exception as e:
         log(f"training-step bench skipped: {type(e).__name__}: {e}")
 
