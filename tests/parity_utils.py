@@ -33,6 +33,35 @@ def load_mean_rows(work_dir):
     return load_delta_checkpoint(os.path.join(d, files[0]))["delta_rows"]
 
 
+def tiny_lpips_ckpt(path, seed=0):
+    """Random-weight LPIPS (AlexNet features + lin heads) checkpoint in the
+    --lpips_ckpt npz layout. Random weights are fine for PIPELINE tests: the
+    calibration stage's control flow, batching, and tsv format don't depend
+    on the values (metric parity has its own suite,
+    test_lpips_metric_parity.py)."""
+    from asyrp_official_tpu.losses import lpips_jax
+
+    r = np.random.RandomState(seed)
+    idx = [0, 3, 6, 8, 10]
+    chans = [(3, 64, 11), (64, 192, 5), (192, 384, 3), (384, 256, 3),
+             (256, 256, 3)]
+    alex_sd = {}
+    for j, (cin, cout, k) in zip(idx, chans):
+        alex_sd[f"features.{j}.weight"] = (
+            r.randn(cout, cin, k, k).astype(np.float32) * 0.05
+        )
+        alex_sd[f"features.{j}.bias"] = r.randn(cout).astype(np.float32) * 0.05
+    lin_sd = {
+        f"lin{i}.model.1.weight": np.abs(
+            r.randn(1, c, 1, 1).astype(np.float32)
+        )
+        for i, c in enumerate([64, 192, 384, 256, 256])
+    }
+    params = lpips_jax.params_from_torch(alex_sd, lin_sd)
+    np.savez(path, params=np.array(params, dtype=object))
+    return str(path)
+
+
 def load_pairs_npz(work_dir):
     """All precompute caches under {work_dir}/precomputed — the
     inversion/reconstruction-chain artifacts."""

@@ -417,28 +417,9 @@ def test_lpips_mode_through_cli(ws):
     train images, computes the per-timestep curves, writes the tsv tables
     interval selection consumes."""
     import numpy as np
+    from parity_utils import tiny_lpips_ckpt
 
-    from asyrp_official_tpu.losses import lpips_jax
-
-    r = np.random.RandomState(0)
-    idx = [0, 3, 6, 8, 10]
-    chans = [(3, 64, 11), (64, 192, 5), (192, 384, 3), (384, 256, 3),
-             (256, 256, 3)]
-    alex_sd = {}
-    for j, (cin, cout, k) in zip(idx, chans):
-        alex_sd[f"features.{j}.weight"] = (
-            r.randn(cout, cin, k, k).astype(np.float32) * 0.05
-        )
-        alex_sd[f"features.{j}.bias"] = r.randn(cout).astype(np.float32) * 0.05
-    lin_sd = {
-        f"lin{i}.model.1.weight": np.abs(
-            r.randn(1, c, 1, 1).astype(np.float32)
-        )
-        for i, c in enumerate([64, 192, 384, 256, 256])
-    }
-    params = lpips_jax.params_from_torch(alex_sd, lin_sd)
-    ck = ws / "lpips_tiny.npz"
-    np.savez(ck, params=np.array(params, dtype=object))
+    ck = tiny_lpips_ckpt(ws / "lpips_tiny.npz")
 
     rc = cli_main(_args(ws, "lp", [
         "--lpips", "--lpips_ckpt", str(ck),

@@ -338,3 +338,39 @@ def test_bf16_cli_train_and_test_with_dp(ws):
     assert len(flat_a) == len(flat_b) > 0
     for la, lb in zip(flat_a, flat_b):
         np.testing.assert_allclose(la, lb, atol=2e-3)
+
+
+def test_dp_lpips_stage_matches_single_device(ws):
+    """--lpips under --dp 2: the calibration stage (the reference's most
+    expensive pipeline, diffusion_latent.py:1190-1303) routes its image
+    batches through the runner mesh via _put_padded — including the
+    pad-partial-batch-then-shard corner (n_train_img+1 = 3 images at
+    bs_train 2 → a full batch plus a padded singleton). The four tsv curves
+    must match the single-device run at float tolerance: the per-t values
+    are per-image means, so a shard-slicing bug that leaked a padding row
+    into the average would move them at O(1)."""
+    from parity_utils import tiny_lpips_ckpt
+
+    from asyrp_official_tpu.utils.assets import load_lpips_tsv
+
+    ck = tiny_lpips_ckpt(str(ws / "lpips_dp_tiny.npz"))
+    for work, extra in (("lp_sd", []), ("lp_dp", ["--dp", "2"])):
+        rc = cli_main(_args(ws, work, [
+            "--lpips", "--lpips_ckpt", ck,
+            "--custom_dataset_name", "tinyset",
+        ] + extra))
+        assert rc == 0
+
+    ua, ub = ws / "lp_sd" / "utils", ws / "lp_dp" / "utils"
+    names = sorted(f for f in os.listdir(ua) if f.endswith(".tsv"))
+    assert names, "single-device --lpips wrote no tsv tables"
+    assert sorted(f for f in os.listdir(ub) if f.endswith(".tsv")) == names
+    for n in names:
+        ca = load_lpips_tsv(str(ua / n))
+        cb = load_lpips_tsv(str(ub / n))
+        assert list(ca) == list(cb), n  # same timestep rows
+        va = np.asarray(list(ca.values()), np.float64)
+        vb = np.asarray(list(cb.values()), np.float64)
+        # f32 chains, batch-2 vs per-device batch-1 conv scheduling: benign
+        # reduction-order noise is ~1e-5 of scale; a padding/shard bug is O(1)
+        np.testing.assert_allclose(va, vb, rtol=0, atol=5e-3, err_msg=n)
