@@ -107,7 +107,7 @@ def test_repo_script_flags_parse(name):
         # bs>1 training-scaling capture (VERDICT r3 item 5): the stub
         # captures all four bs runs' argv concatenated; last-wins parse
         assert args.run_train and args.allow_random_weights and args.bf16
-        assert args.bs_train == args.n_train_img and args.n_iter == 2
+        assert args.bs_train == args.n_train_img and args.n_iter >= 2
         assert args.get_h_num == 1
         return
     assert args.model_path  # real-weights path, no randoms
