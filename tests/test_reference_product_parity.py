@@ -544,6 +544,76 @@ def test_multi_attr_mixing_parity(ws):
 
 
 # ---------------------------------------------------------------------------
+# 3c) --delta_interpolation sweeps (diffusion_latent.py:726-755): the
+#     reference serializes one full generation chain per coefficient tuple
+#     into extra grid rows (save_image's hs_coeff-list loop, :497-534); our
+#     runner evaluates the same sweep as ONE batched chain with per-sample
+#     hs_coeff rows (runner._batched_sweep, the round-4 perf feature) — so
+#     this cross-execution pins the batched path's SEMANTICS against the
+#     reference's looped path, with Δ scaling (n_train=4 vs n_test=5)
+#     composed into every swept coefficient.
+# ---------------------------------------------------------------------------
+def test_delta_interpolation_sweep_parity(ws):
+    delta_sd = torch.load(str(ws / "delta_init_sd.pth"), weights_only=False)
+    for side in ("refws", "ours"):
+        (ws / side / "checkpoint").mkdir(exist_ok=True)
+        torch.save({"0": delta_sd}, ws / side / "checkpoint" / f"{EXP_ID}_0.pth")
+
+    extra = ["--run_test", "--train_delta_block",
+             "--n_test_step", "5", "--do_train", "0", "--do_test", "1",
+             "--delta_interpolation",
+             "--min_delta", "-1.0", "--max_delta", "1.0", "--num_delta", "3",
+             "--save_x_origin"]
+    _exec_reference(ws, extra, mode="test")
+    assert not os.environ.get("ASYRP_TPU_NO_BATCHED_SWEEP")
+    _exec_ours(ws, extra)
+
+    name = "test_0_0_ngen4.png"
+    ref_png = ws / "refws" / "runs" / EXP_ID / "test_images" / "5" / name
+    our_png = ws / "ours" / "runs" / EXP_ID / "test_images" / "5" / name
+    # 4 rows: origin + 3 swept coefficients
+    assert _load_png(str(ref_png)).shape[0] > 4 * IMG, "sweep rows missing"
+    _assert_grids_match(str(ref_png), str(our_png), "1D interpolation grid")
+
+
+def test_delta_interpolation_2d_sweep_parity(ws):
+    """2D sweep: --multiple_attr + --delta_interpolation builds the outer
+    product of per-attribute coefficients (diffusion_latent.py:727-741,
+    get_h_num == 2 asserted upstream) on top of the 1/sqrt(k) multi-attr
+    mixing — num_delta=2 -> 4 coefficient tuples -> 5 grid rows."""
+    from models.ddpm.diffusion import DeltaBlock
+
+    for seed, attr in ((21, "smiling"), (22, "sad")):
+        torch.manual_seed(seed)
+        layer = DeltaBlock(
+            in_channels=H_CH, out_channels=H_CH,
+            temb_channels=TEMB_CH, dropout=0.0,
+        )
+        sd = {k: v.detach().clone() for k, v in layer.state_dict().items()}
+        name = f"{attr}_LC_CUSTOM_t999_ninv4_ngen4_0.pth"
+        for side in ("refws", "ours"):
+            (ws / side / "checkpoint").mkdir(exist_ok=True)
+            torch.save({"0": sd}, ws / side / "checkpoint" / name)
+
+    extra = ["--run_test", "--train_delta_block", "--get_h_num", "2",
+             "--load_from_checkpoint", "attribute",
+             "--multiple_attr", "smiling sad",
+             "--multiple_hs_coeff", "1.0 0.5",
+             "--delta_interpolation",
+             "--min_delta", "0.0", "--max_delta", "1.0", "--num_delta", "2",
+             "--n_test_step", "5", "--do_train", "0", "--do_test", "1",
+             "--save_x_origin"]
+    _exec_reference(ws, extra, mode="test")
+    _exec_ours(ws, extra)
+
+    name = "test_0_0_ngen4.png"
+    ref_png = ws / "refws" / "runs" / EXP_ID / "test_images" / "5" / name
+    our_png = ws / "ours" / "runs" / EXP_ID / "test_images" / "5" / name
+    assert _load_png(str(ref_png)).shape[0] > 5 * IMG, "2D sweep rows missing"
+    _assert_grids_match(str(ref_png), str(our_png), "2D interpolation grid")
+
+
+# ---------------------------------------------------------------------------
 # 4b) run_training --train_delta_h is a NO-OP upstream: the training step
 #     routes the Δh rows through the published slerp branch
 #     (models/ddpm/diffusion.py:517-539) at the hardcoded training
