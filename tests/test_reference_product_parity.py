@@ -614,6 +614,57 @@ def test_delta_interpolation_2d_sweep_parity(ws):
 
 
 # ---------------------------------------------------------------------------
+# 3d) random-noise latents (diffusion_latent.py:1087-1188): with
+#     --saved_random_noise the reference draws xT ~ N(0,I) (torch RNG),
+#     reverses it to x0, caches [x0, x_rec, x_lat] .pth pairs, and serves
+#     edits from them. The RNG streams differ across frameworks by design,
+#     so the cross-execution shares the ARTIFACT: the reference generates
+#     and saves its pairs, our loader consumes the reference's own .pth
+#     (the documented interop path, pipelines/precompute.load_pairs_cache),
+#     and the edited grids over the identical latents must match.
+# ---------------------------------------------------------------------------
+def test_random_noise_pairs_product_parity(ws):
+    import shutil
+
+    delta_sd = torch.load(str(ws / "delta_init_sd.pth"), weights_only=False)
+    for side in ("refws", "ours"):
+        (ws / side / "checkpoint").mkdir(exist_ok=True)
+        torch.save({"0": delta_sd}, ws / side / "checkpoint" / f"{EXP_ID}_0.pth")
+
+    extra = ["--run_test", "--train_delta_block",
+             "--load_random_noise", "--saved_random_noise",
+             "--n_test_step", "5", "--do_train", "0", "--do_test", "1",
+             "--save_x_origin"]
+    _exec_reference(ws, extra, mode="test")
+
+    # hand the reference's saved latents to our cache (same naming scheme:
+    # {category}_{mode}_random_noise_nim{n}_ninv{n}_pairs, :1113-1116)
+    (ws / "ours" / "precomputed").mkdir(exist_ok=True)
+    copied = 0
+    for mode in ("train", "test"):
+        name = f"CUSTOM_{mode}_random_noise_nim{N_IMG}_ninv4_pairs.pth"
+        src = ws / "refws" / "precomputed" / name
+        if src.exists():
+            shutil.copy(str(src), str(ws / "ours" / "precomputed" / name))
+            copied += 1
+    assert copied == 2, "reference did not save its random-noise pair files"
+
+    _exec_ours(ws, extra)
+
+    # our loader must have consumed the torch cache, not re-drawn latents:
+    # the generate-and-save path would have written a fresh native .npz
+    assert not (
+        ws / "ours" / "precomputed" /
+        f"CUSTOM_test_random_noise_nim{N_IMG}_ninv4_pairs.npz"
+    ).exists(), "our side regenerated latents instead of loading the .pth"
+
+    name = "test_0_0_ngen4.png"
+    ref_png = ws / "refws" / "runs" / EXP_ID / "test_images" / "5" / name
+    our_png = ws / "ours" / "runs" / EXP_ID / "test_images" / "5" / name
+    _assert_grids_match(str(ref_png), str(our_png), "random-noise grid")
+
+
+# ---------------------------------------------------------------------------
 # 4b) run_training --train_delta_h is a NO-OP upstream: the training step
 #     routes the Δh rows through the published slerp branch
 #     (models/ddpm/diffusion.py:517-539) at the hardcoded training
