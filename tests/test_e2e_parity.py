@@ -216,3 +216,87 @@ def test_edited_generation_chain_parity(reference_path):
     np.testing.assert_allclose(
         np.transpose(np.asarray(ours), (0, 3, 1, 2)), ref, rtol=2e-3, atol=2e-3
     )
+
+
+def test_learn_sigma_chain_parity_vs_real_reference(reference_path):
+    """learn_sigma CHAINS through the reference's own denoising_step: every
+    prior chain test runs the DDPM++ family (learn_sigma=False), so the
+    6->3+3 channel split (utils/diffusion_utils.py:47-51) was pinned only
+    per-step. Here a tiny iDDPM UNetModel runs the reference loop for both
+    inversion and the edited asymmetric generation (index=0, openai-flavor
+    DeltaBlock) with learn_sigma=True, vs our compiled openai-family
+    engines."""
+    import torch
+    from models.improved_ddpm import unet as iunet
+    from utils.diffusion_utils import denoising_step
+
+    from asyrp_official_tpu.compat.torch_convert import convert_delta_block
+    from asyrp_official_tpu.models import openai_unet
+
+    torch.manual_seed(0)
+    model = iunet.UNetModel(
+        image_size=32, in_channels=3, model_channels=32, out_channels=6,
+        num_res_blocks=1, attention_resolutions=(2,), dropout=0.0,
+        channel_mult=(1, 2), num_classes=None, use_checkpoint=False,
+        use_fp16=False, num_heads=4, num_head_channels=16,
+        num_heads_upsample=-1, use_scale_shift_norm=True,
+        resblock_updown=True, use_new_attention_order=False,
+    )
+    torch.manual_seed(3)
+    model.setattr_layers(1)
+    model.eval()
+
+    cfg = openai_unet.OpenAIUNetConfig(
+        image_size=32, model_channels=32, out_channels=6, num_res_blocks=1,
+        attention_ds=(2,), channel_mult=(1, 2), num_heads=4,
+        num_head_channels=16, use_scale_shift_norm=True, resblock_updown=True,
+    )
+    spec = ModelSpec("openai", cfg, True, "openai")
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = spec.params_from_torch(sd)
+    block = convert_delta_block(sd, "layer_0")
+    assert "in_norm" in block  # openai flavor
+
+    seq = uniform_seq(5, 999)
+    seq_next = [-1] + list(seq[:-1])
+    betas = torch.from_numpy(SCHED.betas)
+    logvar = torch.from_numpy(SCHED.logvar)
+    x0 = np.random.RandomState(7).randn(1, 3, 32, 32).astype(np.float32)
+
+    def ref_chain(x_np, *, invert, index=None, t_edit=0):
+        x = torch.from_numpy(x_np)
+        if invert:
+            pairs = list(zip(seq_next[1:], seq[1:]))
+        else:
+            pairs = list(zip(reversed(seq), reversed(seq_next)))
+        with torch.no_grad():
+            for i, j in pairs:
+                x, _, _, _ = denoising_step(
+                    x, t=torch.full((1,), float(i)),
+                    t_next=torch.full((1,), float(j)), models=model,
+                    logvars=logvar, b=betas, sampling_type="ddim", eta=0.0,
+                    learn_sigma=True, index=index, t_edit=t_edit,
+                    hs_coeff=(1.0, 1.0),
+                )
+        return x.numpy()
+
+    nhwc = lambda a: jnp.asarray(np.transpose(a, (0, 2, 3, 1)))  # noqa: E731
+    nchw = lambda a: np.transpose(np.asarray(a), (0, 3, 1, 2))  # noqa: E731
+
+    # inversion chain (the precompute path, diffusion_latent.py:1033-1045)
+    ref_lat = ref_chain(x0, invert=True)
+    inv = engine.make_invert(spec, SCHED, seq)
+    our_lat, _ = inv(params, nhwc(x0))
+    np.testing.assert_allclose(nchw(our_lat), ref_lat, rtol=2e-3, atol=2e-3)
+
+    # edited asymmetric generation from the shared latent
+    t_edit = 400
+    ref_gen = ref_chain(ref_lat, invert=False, index=0, t_edit=t_edit)
+    edit = EditState(
+        blocks=(jax.tree.map(jnp.asarray, block),),
+        hs_coeff=jnp.array([1.0, 1.0]),
+        flavor="openai",
+    )
+    run = engine.make_edit_generate(spec, SCHED, seq, t_edit=t_edit)
+    ours, _ = run(params, edit, nhwc(ref_lat), jax.random.PRNGKey(0))
+    np.testing.assert_allclose(nchw(ours), ref_gen, rtol=2e-3, atol=2e-3)
