@@ -1,0 +1,232 @@
+"""Cross-execute the reference's run_test on the i-DDPM (learn_sigma) family.
+
+test_reference_product_parity.py pins the orchestration layer on the
+DDPM++ family; the OpenAI families cannot be shrunk through the reference
+CLI (i_DDPM routes to the hardcoded AFHQ_DICT — "Sorry but we did hard
+coding it", models/improved_ddpm/script_util.py:5-22), so this module runs
+the REAL 93.6M-parameter AFHQ architecture at a 2-step grid: the
+reference's own `Asyrp.run_test` (family routing diffusion_latent.py:
+109-116, learn_sigma=True through every denoising_step, the AFHQ glob
+dataset, the 512-channel openai DeltaBlock attach at setattr_layers)
+against our CLI with the same converted weights.
+
+Covers what the tiny-scale suite cannot: the hardcoded-dict architecture
+agreement at full size THROUGH the product surface on both sides, with the
+learn_sigma 6->3+3 split inside real serving chains.
+"""
+import os
+import pathlib
+import shutil
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+pytest.importorskip("transformers")
+
+from PIL import Image
+
+from parity_utils import close_to_scale
+
+pytestmark = pytest.mark.slow
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "refshims"))
+import refboot  # noqa: E402
+
+from test_reference_product_parity import (  # noqa: E402
+    _assert_grids_match,
+    _chdir,
+    _toy_merges,
+)
+
+IMG = 256
+EXP_ID = "cx_LC_dog_t999_ninv2_ngen2"
+
+AFHQ_YML = """
+data:
+    dataset: "AFHQ"
+    category: "dog"
+    image_size: 256
+    channels: 3
+    logit_transform: false
+    uniform_dequantization: false
+    gaussian_dequantization: false
+    random_flip: true
+    rescaled: true
+    num_workers: 0
+
+model:
+    type: "simple"
+    in_channels: 3
+    out_ch: 3
+    ch: 128
+    ch_mult: [1, 1, 2, 2, 4, 4]
+    num_res_blocks: 2
+    attn_resolutions: [16, ]
+    dropout: 0.0
+    var_type: fixedsmall
+    ema_rate: 0.999
+    ema: True
+    resamp_with_conv: True
+
+diffusion:
+    beta_schedule: linear
+    beta_start: 0.0001
+    beta_end: 0.02
+    num_diffusion_timesteps: 1000
+
+sampling:
+    batch_size: 4
+    last_only: True
+"""
+
+BASE_ARGS = [
+    "--config", "afhq.yml",
+    "--edit_attr", "smiling",
+    "--n_inv_step", "2", "--n_train_step", "2", "--n_test_step", "2",
+    "--n_train_img", "1", "--n_test_img", "1", "--n_precomp_img", "1",
+    "--bs_train", "1",
+    "--user_defined_t_edit", "500", "--user_defined_t_addnoise", "100",
+    "--seed", "1234", "--ni", "1",
+    "--sh_file_name", "script.sh",
+    "--clip_model_name", "ViT-B/32",
+    "--get_h_num", "1",
+]
+
+
+def _write_dog(dir_, seed):
+    os.makedirs(dir_, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    small = rng.rand(16, 16, 3)
+    img = np.asarray(
+        Image.fromarray((small * 255).astype(np.uint8)).resize(
+            (IMG, IMG), Image.BILINEAR
+        )
+    )
+    Image.fromarray(img).save(os.path.join(dir_, f"dog{seed}.png"))
+
+
+@pytest.fixture(scope="module")
+def ws(tmp_path_factory):
+    refboot.install()
+    root = tmp_path_factory.mktemp("afhqcx")
+    refws = root / "refws"
+    ours = root / "ours"
+    for d in (refws, ours):
+        d.mkdir(exist_ok=True)
+    (refws / "configs").mkdir()
+    (refws / "configs" / "afhq.yml").write_text(AFHQ_YML)
+    (ours / "afhq.yml").write_text(AFHQ_YML)
+    (refws / "script.sh").write_text("# placeholder for main.py's shutil.copy\n")
+
+    # AFHQ glob layout: {root}/{mode}/dog/*.png (datasets/AFHQ_dataset.py:10)
+    data_root = root / "afhq"
+    _write_dog(str(data_root / "train" / "dog"), seed=5)
+    _write_dog(str(data_root / "test" / "dog"), seed=6)
+
+    # point BOTH frameworks' path registries at it (the reference reads the
+    # module-level DATASET_PATHS dict, diffusion_latent.py:28 — in-place
+    # mutation reaches the already-bound import)
+    from configs import paths_config as ref_paths
+
+    ref_paths.DATASET_PATHS["AFHQ"] = str(data_root)
+    from asyrp_official_tpu.configs.paths import DATASET_PATHS as OUR_PATHS
+
+    OUR_PATHS["AFHQ"] = str(data_root)
+
+    vocab = root / "toy_vocab.txt.gz"
+    _toy_merges(str(vocab))
+    os.environ["ASYRP_TPU_CLIP_BPE"] = str(vocab)
+
+    # shared full-size weights: the reference's own i_DDPM("AFHQ") at a
+    # fixed seed (93.6M params, hardcoded AFHQ_DICT architecture)
+    from models.improved_ddpm.script_util import i_DDPM
+
+    torch.manual_seed(7)
+    model = i_DDPM("AFHQ")
+    torch.manual_seed(11)
+    model.setattr_layers(1)  # openai DeltaBlock at the 512-ch bottleneck
+    sd = model.state_dict()
+    base_sd = {k: v for k, v in sd.items() if not k.startswith("layer_0.")}
+    delta_sd = {
+        k[len("layer_0."):]: v.detach().clone()
+        for k, v in sd.items() if k.startswith("layer_0.")
+    }
+    torch.save(base_sd, root / "afhq_model.pth")
+    for side in (refws, ours):
+        (side / "checkpoint").mkdir()
+        torch.save({"0": delta_sd}, side / "checkpoint" / f"{EXP_ID}_0.pth")
+    del model
+
+    import clip as clip_shim
+
+    torch.save(clip_shim.hf_state_dict_openai_layout(), root / "clip_openai.pth")
+    return root
+
+
+def _exec_reference(ws, extra):
+    ref_main = refboot.load_ref_module("main")
+    argv = ["main.py"] + BASE_ARGS + [
+        "--model_path", str(ws / "afhq_model.pth"),
+        "--exp", "./runs/cx",
+    ] + extra
+    with _chdir(ws / "refws"):
+        old_argv = sys.argv
+        sys.argv = argv
+        try:
+            args, config = ref_main.parse_args_and_config()
+        finally:
+            sys.argv = old_argv
+        import diffusion_latent
+
+        runner = diffusion_latent.Asyrp(args, config)
+        runner.run_test()
+    return args
+
+
+def _exec_ours(ws, extra):
+    from asyrp_official_tpu.cli.main import main as cli_main
+
+    workdir = str(ws / "ours")
+    argv = BASE_ARGS[:]
+    argv[argv.index("afhq.yml")] = str(ws / "ours" / "afhq.yml")
+    argv += [
+        "--model_path", str(ws / "afhq_model.pth"),
+        "--clip_ckpt", str(ws / "clip_openai.pth"),
+        "--work_dir", workdir,
+        "--exp", os.path.join(workdir, "runs", "cx"),
+    ] + extra
+    rc = cli_main(argv)
+    assert rc == 0, f"our CLI failed rc={rc}: {argv}"
+
+
+def test_afhq_run_test_product_parity(ws):
+    extra = ["--run_test", "--train_delta_block",
+             "--do_train", "0", "--do_test", "1", "--save_x_origin"]
+    _exec_reference(ws, extra)
+    _exec_ours(ws, extra)
+
+    # precompute chains (inversion + recon under learn_sigma)
+    pairs_name = "dog_test_t999_nim1_ninv2_pairs"
+    ref_pairs = torch.load(
+        str(ws / "refws" / "precomputed" / f"{pairs_name}.pth"),
+        map_location="cpu", weights_only=False,
+    )
+    tr = lambda x: np.transpose(x.numpy(), (0, 2, 3, 1))  # noqa: E731
+    ref = {
+        "x0": np.concatenate([tr(p[0]) for p in ref_pairs]),
+        "x_rec": np.concatenate([tr(p[1]) for p in ref_pairs]),
+        "x_lat": np.concatenate([tr(p[2]) for p in ref_pairs]),
+    }
+    d = np.load(str(ws / "ours" / "precomputed" / f"{pairs_name}.npz"))
+    for k in ("x0", "x_rec", "x_lat"):
+        assert ref[k].shape == d[k].shape, k
+        close_to_scale(ref[k], d[k], f"afhq pairs[{k}]", bound=1e-3)
+
+    name = "test_0_0_ngen2.png"
+    ref_png = ws / "refws" / "runs" / EXP_ID / "test_images" / "2" / name
+    our_png = ws / "ours" / "runs" / EXP_ID / "test_images" / "2" / name
+    assert ref_png.exists(), ref_png
+    assert our_png.exists(), our_png
+    _assert_grids_match(str(ref_png), str(our_png), "afhq run_test grid")

@@ -665,6 +665,81 @@ def test_random_noise_pairs_product_parity(ws):
 
 
 # ---------------------------------------------------------------------------
+# 3e) precompute_pairs_with_h (diffusion_latent.py:877-947): the DiffStyle
+#     h-trajectory precompute — square center-crop + resize preprocessing,
+#     inversion keyed by the step's SOURCE t (h_dic[i] for the i->j pair,
+#     keys = seq_inv[:-1]), x_lat at the end, .pt cache write. The method is
+#     never dispatched by the reference's main.py, but DiffStyle builds on
+#     it; execute the reference's own method and compare against our
+#     engine.make_invert_with_h trajectory (the style_transfer pipeline's
+#     backbone).
+# ---------------------------------------------------------------------------
+def test_precompute_pairs_with_h_parity(ws):
+    ref_main = refboot.load_ref_module("main")
+    argv = ["main.py"] + BASE_ARGS + [
+        "--custom_train_dataset_dir", str(ws / "train_imgs"),
+        "--custom_test_dataset_dir", str(ws / "test_imgs"),
+        "--model_path", str(ws / "model.pth"),
+        "--exp", "./runs/cx", "--run_test",
+    ]
+    img_path = str(ws / "test_imgs" / "img4.png")
+    with _chdir(ws / "refws"):
+        old_argv = sys.argv
+        sys.argv = argv
+        try:
+            args, config = ref_main.parse_args_and_config()
+        finally:
+            sys.argv = old_argv
+        import diffusion_latent
+
+        runner = diffusion_latent.Asyrp(args, config)
+        model = runner.load_pretrained_model()
+        x0_ref, _, x_lat_ref, h_dic = runner.precompute_pairs_with_h(
+            model, img_path
+        )
+        # the .pt cache round-trips through torch.save (naming :884-886)
+        cache = (
+            ws / "refws" / "precomputed" /
+            f"CUSTOM_inv4_test_imgs_img4.pt"
+        )
+        assert cache.exists(), cache
+
+    from asyrp_official_tpu.core.schedule import make_schedule, uniform_seq
+    from asyrp_official_tpu.pipelines import engine
+    from asyrp_official_tpu.runner import spec_from_config
+    import yaml
+
+    cfg = yaml.safe_load(REF_YML)
+    spec = spec_from_config(cfg)
+    sd = torch.load(str(ws / "model.pth"), map_location="cpu", weights_only=False)
+    params = spec.params_from_torch(
+        {k: v.detach().numpy() for k, v in sd.items()}
+    )
+    sched = make_schedule()
+    seq = uniform_seq(4, 999)
+
+    x0 = np.transpose(x0_ref.numpy(), (0, 2, 3, 1))  # shared preprocessing in
+    inv_h = engine.make_invert_with_h(spec, sched, seq)
+    import jax
+    import jax.numpy as jnp
+
+    x_lat, h_traj = inv_h(params, jnp.asarray(x0))
+
+    close_to_scale(
+        np.transpose(x_lat_ref.numpy(), (0, 2, 3, 1)), np.asarray(x_lat),
+        "with_h x_lat", bound=5e-4,
+    )
+    # reference keys = each inversion pair's source t (seq_inv[:-1])
+    keys = sorted(h_dic.keys())
+    assert keys == list(seq[:-1]), (keys, seq)
+    h_traj = np.asarray(h_traj)  # [S, B, h, w, C]
+    assert h_traj.shape[0] == len(keys), h_traj.shape
+    for si, t in enumerate(keys):
+        ref_h = np.transpose(h_dic[t].numpy(), (0, 2, 3, 1))
+        close_to_scale(ref_h, h_traj[si], f"with_h h[{t}]", bound=5e-4)
+
+
+# ---------------------------------------------------------------------------
 # 4b) run_training --train_delta_h is a NO-OP upstream: the training step
 #     routes the Δh rows through the published slerp branch
 #     (models/ddpm/diffusion.py:517-539) at the hardcoded training
