@@ -69,3 +69,29 @@ def load_pairs_npz(work_dir):
     files = sorted(f for f in os.listdir(d) if f.endswith(".npz"))
     assert files, f"no precompute cache under {d}"
     return {f: np.load(os.path.join(d, f)) for f in files}
+
+
+def randomize_zero_params(model, seed=123, std=0.05):
+    """Light up the OpenAI UNets' zero_module'd branches for parity tests.
+
+    The guided/improved UNets zero-initialize every residual-branch output
+    (ResBlock out conv, attention proj_out, the final out conv —
+    models/improved_ddpm/nn.py:68-74), so a fresh-init model is
+    output-identically-zero through ALL of those paths: a parity test on
+    raw init weights never exercises the resblock in/emb layers,
+    scale-shift application, or attention qkv at the output (discovered
+    round 4 — et was bitwise 0 in every openai forward-parity fixture).
+    Real released weights are nonzero there. Re-randomize every all-zero
+    parameter in place (GroupNorm biases included — any valid weight
+    assignment is a valid parity point) before converting/saving.
+    Returns the number of tensors touched."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    n = 0
+    with torch.no_grad():
+        for p in model.parameters():
+            if p.numel() and float(p.abs().max()) == 0.0:
+                p.copy_(torch.randn(p.shape, generator=g) * std)
+                n += 1
+    return n

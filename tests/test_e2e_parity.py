@@ -242,6 +242,11 @@ def test_learn_sigma_chain_parity_vs_real_reference(reference_path):
         num_heads_upsample=-1, use_scale_shift_norm=True,
         resblock_updown=True, use_new_attention_order=False,
     )
+    from parity_utils import randomize_zero_params
+
+    # a fresh-init OpenAI UNet outputs bitwise 0 through every
+    # zero_module'd branch — randomize so the chains exercise the network
+    assert randomize_zero_params(model) > 0
     torch.manual_seed(3)
     model.setattr_layers(1)
     model.eval()

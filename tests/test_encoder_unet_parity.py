@@ -7,6 +7,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from parity_utils import randomize_zero_params
+
 from asyrp_official_tpu.models import openai_unet
 from asyrp_official_tpu.models.encoder_unet import (
     EncoderUNetConfig,
@@ -35,6 +37,9 @@ def _ref_encoder(reference_path, pool):
         channel_mult=(1, 2), num_head_channels=16,
         use_scale_shift_norm=True, resblock_updown=True, pool=pool,
     )
+    # light up zero_module'd branches — a fresh-init encoder's residual
+    # paths (and for adaptive/spatial pools the head itself) output 0
+    assert randomize_zero_params(m) > 0
     m.eval()
     return m
 

@@ -10,6 +10,8 @@ import pytest
 jnp = pytest.importorskip("jax.numpy")
 import jax
 
+from parity_utils import randomize_zero_params
+
 from asyrp_official_tpu.models import ddpmpp, openai_unet
 from asyrp_official_tpu.models.delta import EditState
 from asyrp_official_tpu.compat.torch_convert import (
@@ -173,6 +175,10 @@ def _small_openai_torch(reference_path, module, new_order=False, scale_shift=Tru
         resblock_updown=updown,
         use_new_attention_order=new_order,
     )
+    # zero_module'd branches (resblock out convs, attn proj_out, final out
+    # conv) make a fresh-init model output bitwise 0 — randomize them so
+    # the comparisons below exercise the full network (parity_utils)
+    assert randomize_zero_params(model) > 0
     model.eval()
     return model
 
