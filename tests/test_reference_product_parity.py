@@ -665,6 +665,40 @@ def test_random_noise_pairs_product_parity(ws):
 
 
 # ---------------------------------------------------------------------------
+# 3f) per-step process dumps (diffusion_latent.py:485-489, 523-527):
+#     --save_process_origin / --save_process_delta_h write one [x; x0_t]
+#     grid per timestep into a {file_name}/ subdir — cross-compare every
+#     frame of both series (naming, layout, and the per-step trajectory
+#     values the final grid alone can't pin).
+# ---------------------------------------------------------------------------
+def test_process_dump_parity(ws):
+    delta_sd = torch.load(str(ws / "delta_init_sd.pth"), weights_only=False)
+    for side in ("refws", "ours"):
+        (ws / side / "checkpoint").mkdir(exist_ok=True)
+        torch.save({"0": delta_sd}, ws / side / "checkpoint" / f"{EXP_ID}_0.pth")
+
+    extra = ["--run_test", "--train_delta_block",
+             "--n_test_step", "5", "--do_train", "0", "--do_test", "1",
+             "--save_process_origin", "--save_process_delta_h",
+             "--save_x_origin"]
+    _exec_reference(ws, extra, mode="test")
+    _exec_ours(ws, extra)
+
+    seq5 = [0, 249, 499, 749, 999]  # linspace(0,1,5)*999, int-truncated
+    for side_dir in ("refws", "ours"):
+        d = ws / side_dir / "runs" / EXP_ID / "test_images" / "5" / "test_0_0"
+        assert d.is_dir(), d
+    for tag in ("origin", "delta_h"):
+        for t in seq5:
+            name = f"test_0_0/{tag}_{t}.png"
+            ref_png = ws / "refws" / "runs" / EXP_ID / "test_images" / "5" / name
+            our_png = ws / "ours" / "runs" / EXP_ID / "test_images" / "5" / name
+            assert ref_png.exists(), ref_png
+            assert our_png.exists(), our_png
+            _assert_grids_match(str(ref_png), str(our_png), f"process {name}")
+
+
+# ---------------------------------------------------------------------------
 # 3e) precompute_pairs_with_h (diffusion_latent.py:877-947): the DiffStyle
 #     h-trajectory precompute — square center-crop + resize preprocessing,
 #     inversion keyed by the step's SOURCE t (h_dic[i] for the i->j pair,
