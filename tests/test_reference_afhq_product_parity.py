@@ -145,6 +145,16 @@ def ws(tmp_path_factory):
 
     torch.manual_seed(7)
     model = i_DDPM("AFHQ")
+    # the OpenAI UNets zero_module every residual-branch output (resblock
+    # out convs, attention proj_out, the final out conv) — a fresh-init
+    # model outputs exactly 0, which makes every chain schedule-only and
+    # the Δ gradient structurally zero (discovered when this test's first
+    # run trained a bit-identical Δ on both sides with zero updates).
+    # Re-randomize the zeroed tensors so the cross-execution exercises the
+    # real network; std kept small to bound chain expansion at 256².
+    from parity_utils import randomize_zero_params
+
+    assert randomize_zero_params(model, seed=8, std=0.02) > 0
     torch.manual_seed(11)
     model.setattr_layers(1)  # openai DeltaBlock at the 512-ch bottleneck
     sd = model.state_dict()
@@ -199,6 +209,179 @@ def _exec_ours(ws, extra):
     ] + extra
     rc = cli_main(argv)
     assert rc == 0, f"our CLI failed rc={rc}: {argv}"
+
+
+METFACE_YML = AFHQ_YML.replace(
+    'dataset: "AFHQ"', 'dataset: "MetFACE"'
+).replace('category: "dog"', 'category: "metfaces"')
+
+
+def test_metface_run_test_product_parity(ws):
+    """The guided_diffusion (ADM) family through the reference's own
+    run_test: guided_Diffusion routing loads MODEL_PATHS[dataset] with NO
+    --model_path override (diffusion_latent.py:117-120 — patched in the
+    module registry), METFACE_DICT (identical architecture to AFHQ_DICT,
+    different vendored torch module), and the MetFACE tail-500 test-split
+    dataset (datasets/data_utils.py:57-59). The torch state_dict layout is
+    shared across the two vendored UNets, so both families load the same
+    weights file."""
+    refws = ws / "refws_mf"
+    ours = ws / "ours_mf"
+    for d in (refws, ours):
+        d.mkdir(exist_ok=True)
+    (refws / "configs").mkdir(exist_ok=True)
+    (refws / "configs" / "metface.yml").write_text(METFACE_YML)
+    (ours / "metface.yml").write_text(METFACE_YML)
+    (refws / "script.sh").write_text("# placeholder\n")
+
+    data_root = ws / "metfaces"
+    _write_dog(str(data_root / "images"), seed=9)
+    from configs import paths_config as ref_paths
+
+    ref_paths.DATASET_PATHS["MetFACE"] = str(data_root)
+    ref_paths.MODEL_PATHS["MetFACE"] = str(ws / "afhq_model.pth")
+    from asyrp_official_tpu.configs.paths import DATASET_PATHS as OUR_PATHS
+
+    OUR_PATHS["MetFACE"] = str(data_root)
+
+    exp_id = "cx_LC_metfaces_t999_ninv2_ngen2"
+    delta_sd = torch.load(
+        str(ws / "refws" / "checkpoint" / f"{EXP_ID}_0.pth"),
+        map_location="cpu", weights_only=False,
+    )["0"]
+    for side in (refws, ours):
+        (side / "checkpoint").mkdir(exist_ok=True)
+        torch.save({"0": delta_sd}, side / "checkpoint" / f"{exp_id}_0.pth")
+
+    extra = ["--run_test", "--train_delta_block",
+             "--do_train", "0", "--do_test", "1", "--save_x_origin"]
+    base = [a for a in BASE_ARGS]
+    base[base.index("afhq.yml")] = "metface.yml"
+
+    ref_main = refboot.load_ref_module("main")
+    argv = ["main.py"] + base + ["--exp", "./runs/cx"] + extra
+    with _chdir(refws):
+        old_argv = sys.argv
+        sys.argv = argv
+        try:
+            args, config = ref_main.parse_args_and_config()
+        finally:
+            sys.argv = old_argv
+        import diffusion_latent
+
+        runner = diffusion_latent.Asyrp(args, config)
+        runner.run_test()
+
+    from asyrp_official_tpu.cli.main import main as cli_main
+
+    argv = base[:]
+    argv[argv.index("metface.yml")] = str(ours / "metface.yml")
+    argv += [
+        "--model_path", str(ws / "afhq_model.pth"),
+        "--clip_ckpt", str(ws / "clip_openai.pth"),
+        "--work_dir", str(ours),
+        "--exp", os.path.join(str(ours), "runs", "cx"),
+    ] + extra
+    rc = cli_main(argv)
+    assert rc == 0, f"our CLI failed rc={rc}: {argv}"
+
+    pairs_name = "metfaces_test_t999_nim1_ninv2_pairs"
+    ref_pairs = torch.load(
+        str(refws / "precomputed" / f"{pairs_name}.pth"),
+        map_location="cpu", weights_only=False,
+    )
+    tr = lambda x: np.transpose(x.numpy(), (0, 2, 3, 1))  # noqa: E731
+    d = np.load(str(ours / "precomputed" / f"{pairs_name}.npz"))
+    for i, k in enumerate(("x0", "x_rec", "x_lat")):
+        ref_k = np.concatenate([tr(p[i]) for p in ref_pairs])
+        assert ref_k.shape == d[k].shape, k
+        close_to_scale(ref_k, d[k], f"metface pairs[{k}]", bound=1e-3)
+
+    name = "test_0_0_ngen2.png"
+    ref_png = refws / "runs" / exp_id / "test_images" / "2" / name
+    our_png = ours / "runs" / exp_id / "test_images" / "2" / name
+    assert ref_png.exists(), ref_png
+    assert our_png.exists(), our_png
+    _assert_grids_match(str(ref_png), str(our_png), "metface run_test grid")
+
+
+def test_afhq_run_training_trained_delta_parity(ws):
+    """run_training on the learn_sigma family: the openai-flavor DeltaBlock
+    gradient path (per-timestep SGD through the dual decode with the
+    6->3+3 split feeding x0_t into the L1+CLIP losses) has product-level
+    cross-parity only on DDPM++ elsewhere. n_train_step=4 -> edit
+    timesteps {666, 999} at t_edit=500; both sides resume the same Δ init
+    and train one full iteration."""
+    from models.improved_ddpm.unet import DeltaBlock
+
+    exp_id = "cx_LC_dog_t999_ninv2_ngen4"
+    delta_sd = torch.load(
+        str(ws / "refws" / "checkpoint" / f"{EXP_ID}_0.pth"),
+        map_location="cpu", weights_only=False,
+    )["0"]
+
+    layer = DeltaBlock(channels=512, emb_channels=512, dropout=0.0)
+    layer.load_state_dict(delta_sd)
+    optim = torch.optim.SGD(list(layer.parameters()), weight_decay=0, lr=0.01)
+    sched = torch.optim.lr_scheduler.StepLR(optim, step_size=10, gamma=0.1)
+    ck = {"0": delta_sd, "optimizer": optim.state_dict(),
+          "scheduler": sched.state_dict()}
+    for side in ("refws", "ours"):
+        torch.save(ck, ws / side / "checkpoint" / f"{exp_id}_0.pth")
+        stale = ws / side / "checkpoint" / f"{exp_id}_1.pth"
+        if stale.exists():
+            stale.unlink()
+
+    extra = ["--run_train", "--train_delta_block", "--n_train_step", "4",
+             "--n_iter", "2", "--retrain", "0",
+             "--lr_training", "0.01", "--scheduler_step_size", "10",
+             "--l1_loss_w", "3.0", "--clip_loss_w", "0.8",
+             "--do_train", "1", "--do_test", "0", "--save_train_image", "0"]
+    ref_main = refboot.load_ref_module("main")
+    argv = ["main.py"] + BASE_ARGS + [
+        "--model_path", str(ws / "afhq_model.pth"),
+        "--exp", "./runs/cx",
+    ] + extra  # argparse last-wins: extra's --n_train_step 4 overrides BASE_ARGS
+    with _chdir(ws / "refws"):
+        old_argv = sys.argv
+        sys.argv = argv
+        try:
+            args, config = ref_main.parse_args_and_config()
+        finally:
+            sys.argv = old_argv
+        assert args.n_train_step == 4, args.n_train_step
+        import diffusion_latent
+
+        runner = diffusion_latent.Asyrp(args, config)
+        runner.run_training()
+    _exec_ours(ws, extra)
+
+    ref_ck = torch.load(
+        str(ws / "refws" / "checkpoint" / f"{exp_id}_1.pth"),
+        map_location="cpu", weights_only=False,
+    )["0"]
+    from asyrp_official_tpu.compat.delta_ckpt import (
+        blocks_to_torch_sd,
+        load_delta_checkpoint,
+    )
+
+    ours = load_delta_checkpoint(
+        str(ws / "ours" / "checkpoint" / f"{exp_id}_1.pth")
+    )
+    our_sd = blocks_to_torch_sd(ours["blocks"][0], ours.get("flavor", "openai"))
+    global_scale = max(np.abs(v.detach().numpy()).max() for v in ref_ck.values())
+    upd_scale = max(
+        np.abs(ref_v.detach().numpy() - delta_sd[k].numpy()).max()
+        for k, ref_v in ref_ck.items()
+    )
+    assert upd_scale > 0, "reference training did not move the delta"
+    for k, ref_v in ref_ck.items():
+        err = np.abs(ref_v.detach().numpy() - np.asarray(our_sd[k])).max()
+        assert err <= 2e-3 * global_scale, (k, err, global_scale)
+        d_ref = ref_v.detach().numpy() - delta_sd[k].numpy()
+        d_our = np.asarray(our_sd[k]) - delta_sd[k].numpy()
+        rel = np.abs(d_ref - d_our).max() / upd_scale
+        assert rel < 0.05, (k, rel, upd_scale)
 
 
 def test_afhq_run_test_product_parity(ws):
