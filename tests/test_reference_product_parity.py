@@ -955,3 +955,64 @@ def test_run_training_trained_delta_parity(ws):
         d_our = np.asarray(our_sd[k]) - delta_sd[k].numpy()
         err = np.abs(d_ref - d_our).max() / upd_scale
         assert err < 0.05, (k, err, upd_scale)
+
+
+# ---------------------------------------------------------------------------
+# 4c) run_training at bs_train == 2: the reference assembles batches BY HAND
+#     from the bs-1 pair list (torch.cat until (step+1) % bs == 0,
+#     diffusion_latent.py:259-279) — cross-execute the batched per-timestep
+#     SGD against our padded-batch training path. The two train images are
+#     identical files, so listdir order cannot affect the batch content.
+# ---------------------------------------------------------------------------
+def test_run_training_bs2_parity(ws):
+    from models.ddpm.diffusion import DeltaBlock
+
+    delta_sd = torch.load(str(ws / "delta_init_sd.pth"), weights_only=False)
+    layer = DeltaBlock(
+        in_channels=H_CH, out_channels=H_CH, temb_channels=TEMB_CH, dropout=0.0
+    )
+    layer.load_state_dict(delta_sd)
+    optim = torch.optim.SGD(list(layer.parameters()), weight_decay=0, lr=0.01)
+    sched = torch.optim.lr_scheduler.StepLR(optim, step_size=10, gamma=0.1)
+    ck = {"0": delta_sd, "optimizer": optim.state_dict(),
+          "scheduler": sched.state_dict()}
+    for side in ("refws", "ours"):
+        (ws / side / "checkpoint").mkdir(exist_ok=True)
+        torch.save(ck, ws / side / "checkpoint" / f"{EXP_ID}_0.pth")
+        stale = ws / side / "checkpoint" / f"{EXP_ID}_1.pth"
+        if stale.exists():
+            stale.unlink()
+
+    extra = ["--run_train", "--train_delta_block",
+             "--n_test_step", "4", "--n_train_img", "2", "--bs_train", "2",
+             "--n_iter", "2", "--retrain", "0",
+             "--lr_training", "0.01", "--scheduler_step_size", "10",
+             "--l1_loss_w", "3.0", "--clip_loss_w", "0.8",
+             "--do_train", "1", "--do_test", "0", "--save_train_image", "0"]
+    _exec_reference(ws, extra, mode="train")
+    _exec_ours(ws, extra)
+
+    ref_ck = torch.load(
+        str(ws / "refws" / "checkpoint" / f"{EXP_ID}_1.pth"),
+        map_location="cpu", weights_only=False,
+    )["0"]
+    from asyrp_official_tpu.compat.delta_ckpt import (
+        blocks_to_torch_sd,
+        load_delta_checkpoint,
+    )
+
+    ours = load_delta_checkpoint(str(ws / "ours" / "checkpoint" / f"{EXP_ID}_1.pth"))
+    our_sd = blocks_to_torch_sd(ours["blocks"][0], ours.get("flavor", "ddpm"))
+    global_scale = max(np.abs(v.detach().numpy()).max() for v in ref_ck.values())
+    upd_scale = max(
+        np.abs(ref_v.detach().numpy() - delta_sd[k].numpy()).max()
+        for k, ref_v in ref_ck.items()
+    )
+    assert upd_scale > 0, "bs-2 training did not move the delta"
+    for k, ref_v in ref_ck.items():
+        err = np.abs(ref_v.detach().numpy() - np.asarray(our_sd[k])).max()
+        assert err <= 2e-3 * global_scale, (k, err, global_scale)
+        d_ref = ref_v.detach().numpy() - delta_sd[k].numpy()
+        d_our = np.asarray(our_sd[k]) - delta_sd[k].numpy()
+        rel = np.abs(d_ref - d_our).max() / upd_scale
+        assert rel < 0.05, (k, rel, upd_scale)
