@@ -28,17 +28,50 @@ CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
+def _torch_bicubic_matrix(n_in: int, n_out: int, a: float = -0.75) -> np.ndarray:
+    """[n_out, n_in] interpolation matrix reproducing
+    `torch.nn.functional.interpolate(mode="bicubic", align_corners=False)`
+    — the tensor path the reference's composed CLIP preprocess actually
+    takes (torchvision-0.10 Resize on tensors; no antialiasing, Keys
+    kernel a=-0.75, replicate borders). jax.image.resize differs on BOTH
+    counts (a=-0.5 kernel, antialiased downsampling), which would shift
+    every CLIP feature whenever image size != n_px (e.g. 256² diffusion
+    outputs into the real 224-px ViT towers)."""
+
+    def w(t):
+        at = abs(t)
+        if at <= 1.0:
+            return ((a + 2.0) * at - (a + 3.0)) * at * at + 1.0
+        if at < 2.0:
+            return a * (((at - 5.0) * at + 8.0) * at - 4.0)
+        return 0.0
+
+    scale = n_in / n_out
+    m = np.zeros((n_out, n_in), np.float64)
+    for i in range(n_out):
+        src = (i + 0.5) * scale - 0.5
+        f = int(np.floor(src))
+        t = src - f
+        for k in range(-1, 3):
+            m[i, min(max(f + k, 0), n_in - 1)] += w(t - k)
+    return m.astype(np.float32)
+
+
 def clip_preprocess(img: jnp.ndarray, resolution: int = 224) -> jnp.ndarray:
     """GAN-range image [B, H, W, 3] in [-1, 1] → CLIP input.
 
     Mirrors the composed preprocess (losses/clip_loss.py:39-41):
     un-normalize to [0,1], resize shorter side → center crop (inputs here
     are square, so one bicubic resize), CLIP mean/std normalize.
-    Differentiable (jax.image.resize)."""
+    Differentiable; the resize is two exact torch-semantics interpolation
+    matmuls (MXU-friendly, bit-faithful to the reference's tensor path)."""
     x = (img + 1.0) * 0.5
     b, h, w, c = x.shape
     if (h, w) != (resolution, resolution):
-        x = jax.image.resize(x, (b, resolution, resolution, c), method="bicubic")
+        rh = jnp.asarray(_torch_bicubic_matrix(h, resolution))
+        rw = jnp.asarray(_torch_bicubic_matrix(w, resolution))
+        x = jnp.einsum("oh,bhwc->bowc", rh, x)
+        x = jnp.einsum("pw,bhwc->bhpc", rw, x)
     # NO clamp: the reference's composed tensor pipeline (un-normalize →
     # Resize → CenterCrop → Normalize, losses/clip_loss.py:39-41) never
     # clips, so out-of-range diffusion outputs flow through unchanged —
@@ -175,14 +208,22 @@ def patch_directional_loss(
     rng,
     patch_size: int = 510,
     num_patches: int = 1,
+    centers: Optional[Tuple] = None,
 ) -> jnp.ndarray:
     """Random-patch directional loss (losses/clip_loss.py:246-273). Patch
-    centers are drawn with jax.random; patches gathered with dynamic_slice."""
+    centers are drawn with jax.random; patches gathered with dynamic_slice.
+    `centers=(cx, cy)` replays explicit patch centers (deterministic eval /
+    cross-framework comparison against the reference's np.random draw,
+    losses/clip_loss.py:193-199)."""
     b, h, w, c = src_img.shape
     half = patch_size // 2
-    kx, ky = jax.random.split(rng)
-    cx = jax.random.randint(kx, (b * num_patches,), half, w - half)
-    cy = jax.random.randint(ky, (b * num_patches,), half, h - half)
+    if centers is not None:
+        cx = jnp.asarray(centers[0])
+        cy = jnp.asarray(centers[1])
+    else:
+        kx, ky = jax.random.split(rng)
+        cx = jax.random.randint(kx, (b * num_patches,), half, w - half)
+        cy = jax.random.randint(ky, (b * num_patches,), half, h - half)
 
     def grab(img, bi, x0, y0):
         return jax.lax.dynamic_slice(

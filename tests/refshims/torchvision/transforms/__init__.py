@@ -55,16 +55,20 @@ class Resize:
             if (img.size[0], img.size[1]) == (tw, th):
                 return img
             return img.resize((tw, th), self.interpolation)
-        # tensor path: identity only (see module docstring)
+        # tensor path: torchvision-0.10 semantics — F.interpolate with the
+        # named mode, align_corners=False, NO antialiasing (the antialias
+        # flag only appeared in tv 0.12). BICUBIC/BILINEAR map to the
+        # interpolate mode strings.
         h, w = img.shape[-2], img.shape[-1]
         tw, th = self._target(w, h)
         if (w, h) == (tw, th):
             return img
-        raise NotImplementedError(
-            f"refshim Resize: non-identity tensor resize {h}x{w} -> "
-            f"{th}x{tw} is not supported — run the cross-test at the CLIP "
-            "shim's native resolution"
+        mode = {BILINEAR: "bilinear", BICUBIC: "bicubic"}[self.interpolation]
+        x = img if img.dim() == 4 else img.unsqueeze(0)
+        out = torch.nn.functional.interpolate(
+            x, size=(th, tw), mode=mode, align_corners=False
         )
+        return out if img.dim() == 4 else out.squeeze(0)
 
 
 class CenterCrop:

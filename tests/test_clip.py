@@ -134,6 +134,28 @@ def test_clip_preprocess_range():
     np.testing.assert_allclose(np.asarray(out[0, 0, 0]), expected, rtol=1e-5)
 
 
+def test_clip_preprocess_resize_matches_torch_tensor_path():
+    """The reference's composed CLIP preprocess resizes TENSORS via
+    torchvision -> F.interpolate(bicubic, align_corners=False, no
+    antialias, a=-0.75). jax.image.resize uses a different kernel AND
+    antialiases (measured 0.225 max error on [0,1] pixels at the real
+    256->224 production shape); clip_preprocess now uses exact
+    torch-semantics interpolation matrices — pin it at downsample,
+    upsample, and the patch-loss shape."""
+    import torch
+
+    rng = np.random.RandomState(0)
+    for h, res in [(256, 224), (128, 224), (510, 224)]:
+        img = (rng.rand(2, h, h, 3).astype(np.float32) * 2 - 1) * 1.3
+        ours = np.transpose(np.asarray(cl.clip_preprocess(jnp.asarray(img), res)), (0, 3, 1, 2))
+        x = torch.from_numpy(np.transpose((img + 1) * 0.5, (0, 3, 1, 2)))
+        xr = torch.nn.functional.interpolate(
+            x, size=(res, res), mode="bicubic", align_corners=False
+        ).numpy()
+        ref = (xr - cl.CLIP_MEAN[:, None, None]) / cl.CLIP_STD[:, None, None]
+        assert np.abs(ours - ref).max() < 5e-4, (h, res)
+
+
 def test_directional_loss_properties():
     params = cm.init(jax.random.PRNGKey(2), TINY)
     ctx = cl.CLIPContext(params, TINY, tok.HashTokenizer())
