@@ -107,3 +107,52 @@ def test_imageio_grid(tmp_path):
 
     im = Image.open(p)
     assert im.size == (3 * 9 + 1, 2 * 9 + 1)
+
+
+def test_id_loss_cross_executes_reference_class(reference_path, tmp_path):
+    """Run the reference's own IDLoss (losses/id_loss.py:7-35) — weights
+    routed through its MODEL_PATHS registry — against our id_loss on the
+    same images. The backbone was already cross-checked; this executes the
+    reference's crop/pool/per-sample-1-dot FORWARD itself rather than a
+    test-authored mirror of it."""
+    import importlib.util
+
+    import torch
+    from models.insight_face.model_irse import Backbone
+
+    torch.manual_seed(0)
+    net = Backbone(input_size=112, num_layers=50, drop_ratio=0.6, mode="ir_se")
+    with torch.no_grad():
+        net.output_layer[4].weight.mul_(1.5).add_(0.1)
+        net.output_layer[4].bias.add_(0.2)
+    sd_path = tmp_path / "irse50.pth"
+    torch.save(net.state_dict(), sd_path)
+
+    import configs.paths_config as ref_paths
+
+    old = ref_paths.MODEL_PATHS.get("ir_se50")
+    ref_paths.MODEL_PATHS["ir_se50"] = str(sd_path)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_id_loss", str(reference_path / "losses" / "id_loss.py")
+        )
+        ref_idl = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_idl)
+        ref_loss_mod = ref_idl.IDLoss()
+        rng = np.random.RandomState(2)
+        x = rng.randn(2, 3, 256, 256).astype(np.float32) * 0.5
+        xh = x + rng.randn(2, 3, 256, 256).astype(np.float32) * 0.1
+        with torch.no_grad():
+            ref = ref_loss_mod(
+                torch.from_numpy(x), torch.from_numpy(xh)
+            ).detach().numpy()
+    finally:
+        if old is not None:
+            ref_paths.MODEL_PATHS["ir_se50"] = old
+
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, idl.params_from_torch(sd))
+    nhwc = lambda a: jnp.asarray(np.transpose(a, (0, 2, 3, 1)))  # noqa: E731
+    ours = np.asarray(idl.id_loss(params, nhwc(x), nhwc(xh)))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3)
