@@ -15,6 +15,7 @@ Reference call paths covered:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -41,6 +42,7 @@ def _plain_eps(spec: ModelSpec, params, compute_dtype):
 def _edited_eps(
     spec: ModelSpec, params, edit: EditState, compute_dtype,
     skip_below_edit: bool = False,
+    decode_mode: str = "auto",
 ):
     """skip_below_edit: below t_edit the edit is gated off (h2 = h), so the
     stacked dual decode produces eps_mod ≡ eps bit-for-bit — the reference
@@ -59,7 +61,8 @@ def _edited_eps(
 
         def dual(xm):
             eps, eps_mod, delta_h, _ = spec.apply(
-                params, xm, t, edit=edit.at_step(aux)
+                params, xm, t, edit=edit.at_step(aux),
+                decode_mode=decode_mode,
             )
             return eps, eps_mod, delta_h
 
@@ -123,6 +126,12 @@ def _edited_chain(
     """
     skip = "delta_h" not in collect
     k = table.edit_prefix_len() if skip else None
+    # serving-side analogue of train.py's ASYRP_TPU_TRAIN_DECODE: "split"
+    # runs the dual decode as two B-sized decoder passes instead of one
+    # 2B-stacked one (identical math, models/{ddpmpp,openai_unet}.apply).
+    # Forward-only A/B knob — conv batch efficiency is non-monotonic on
+    # the v5e (BASELINE.md), so the best shape depends on serving batch.
+    decode_mode = os.environ.get("ASYRP_TPU_SERVE_DECODE", "auto")
     common = dict(
         sample_type=sample_type, learn_sigma=spec.learn_sigma,
         dt_lambda=dt_lambda, dt_end=dt_end, collect=collect, unroll=unroll,
@@ -137,7 +146,7 @@ def _edited_chain(
         def run(params, edit, x, rng):
             return sample_chain(
                 _edited_eps(spec, params, edit, compute_dtype,
-                            skip_below_edit=skip),
+                            skip_below_edit=skip, decode_mode=decode_mode),
                 schedule, table, x, rng=rng, **common,
             )
         return run
@@ -148,7 +157,8 @@ def _edited_chain(
         ys_parts = []
         if head.num_steps:
             x, ys1 = sample_chain(
-                _edited_eps(spec, params, edit, compute_dtype),
+                _edited_eps(spec, params, edit, compute_dtype,
+                            decode_mode=decode_mode),
                 schedule, head, x, rng=rng, **common,
             )
             ys_parts.append(ys1)

@@ -74,6 +74,44 @@ def test_split_decode_matches_stacked(family):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_serve_decode_env_knob_matches_auto(monkeypatch):
+    """ASYRP_TPU_SERVE_DECODE=split ≡ default at the engine surface.
+
+    The serving analogue of the training knob: pipelines/engine._edited_chain
+    threads the env into every dual-decode step; a full edited-generation
+    chain at bs > 1 must be numerically unchanged (it is the same math in a
+    different conv batch shape — the knob exists because conv batch
+    efficiency is non-monotonic on the v5e, BASELINE.md)."""
+    from asyrp_official_tpu.core.schedule import make_schedule
+    from asyrp_official_tpu.pipelines import engine
+
+    spec = _spec("ddpmpp")
+    params = spec.init(jax.random.PRNGKey(0))
+    block = delta_block_init(
+        jax.random.PRNGKey(1), spec.bottleneck_ch, spec.config.temb_ch,
+        flavor=spec.delta_flavor,
+    )
+    edit = EditState(mode="deltablock", blocks=(block,),
+                     hs_coeff=jnp.asarray([1.0, 1.0]),
+                     flavor=spec.delta_flavor, use_delta=jnp.asarray(1.0))
+    sched = make_schedule()
+    seq = [601, 401, 201, 1]
+    rng = np.random.RandomState(1)
+    x_lat = jnp.asarray(rng.randn(BS, 32, 32, 3).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+
+    monkeypatch.delenv("ASYRP_TPU_SERVE_DECODE", raising=False)
+    run_auto = engine.make_edit_generate(spec, sched, seq, t_edit=300)
+    x_auto, _ = run_auto(params, edit, x_lat, key)
+
+    monkeypatch.setenv("ASYRP_TPU_SERVE_DECODE", "split")
+    run_split = engine.make_edit_generate(spec, sched, seq, t_edit=300)
+    x_split, _ = run_split(params, edit, x_lat, key)
+
+    np.testing.assert_allclose(np.asarray(x_auto), np.asarray(x_split),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_decode_mode_rejects_unknown():
     spec = _spec("ddpmpp")
     params = spec.init(jax.random.PRNGKey(0))
