@@ -440,10 +440,19 @@ def main():
                 cstep_ms / n_edit, 1
             )
             extras["train_origin_fill_ms"] = round(fill_ms, 1)
+            # steady-state fill: what every batch AFTER the first pays for
+            # its origin trajectory (the first-fill number above is
+            # compile-dominated and would misread as the per-batch cost)
+            t0 = time.perf_counter()
+            org = tstep_c.compute_origins(params, x_lat_t)
+            force(org)  # [n_steps, B, H, W, C] stack; host fetch barrier
+            refill_ms = (time.perf_counter() - t0) * 1e3
+            extras["train_origin_refill_ms"] = round(refill_ms, 1)
             log(f"cached-origin training step (steady state for --n_iter>1):"
                 f" {cstep_ms:.1f} ms/step ({cstep_ms / n_edit:.1f} "
                 f"ms/edit-timestep; first-fill incl. compile {fill_ms:.0f} "
-                f"ms; {step_ms / cstep_ms:.2f}x vs un-cached)")
+                f"ms, steady-state fill {refill_ms:.0f} ms/batch; "
+                f"{step_ms / cstep_ms:.2f}x vs un-cached)")
 
             # ---- batched training throughput (bs 8, split decode) --------
             # bs8 per-image cost matches bs1 since the split-decode path
