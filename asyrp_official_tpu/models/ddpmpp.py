@@ -76,7 +76,7 @@ CELEBA_CONFIG = DDPMppConfig()
 
 
 def _resblock_init(key, cin, cout, temb_ch):
-    ks = jax.random.split(key, 4)
+    ks = cm.rsplit(key, 4)
     p = {
         "norm1": cm.norm_init(cin),
         "conv1": cm.conv_init(ks[0], 3, 3, cin, cout),
@@ -91,7 +91,7 @@ def _resblock_init(key, cin, cout, temb_ch):
 
 
 def _attn_init(key, ch):
-    ks = jax.random.split(key, 4)
+    ks = cm.rsplit(key, 4)
     return {
         "norm": cm.norm_init(ch),
         "q": cm.linear_init(ks[0], ch, ch),
@@ -102,7 +102,7 @@ def _attn_init(key, ch):
 
 
 def init(key, cfg: DDPMppConfig) -> Dict[str, Any]:
-    keys = iter(jax.random.split(key, 4096))
+    keys = iter(cm.rsplit(key, 4096))
     nxt = lambda: next(keys)
 
     params: Dict[str, Any] = {

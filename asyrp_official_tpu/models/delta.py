@@ -47,7 +47,7 @@ __all__ = [
 
 
 def delta_block_init(key, ch: int, temb_ch: int, *, flavor: str = "ddpm"):
-    ks = jax.random.split(key, 4)
+    ks = cm.rsplit(key, 4)
     if flavor == "ddpm":
         return {
             "conv1": cm.linear_init(ks[0], ch, ch),
@@ -99,7 +99,7 @@ def delta_block_apply(p, x, temb, *, flavor: str = "ddpm"):
 
 
 def delta_block_global_init(key, ch: int, temb_ch: int, clip_ch: int = 512, hw: int = 8):
-    ks = jax.random.split(key, 8)
+    ks = cm.rsplit(key, 8)
     return {
         "conv1": cm.conv_init(ks[0], 3, 3, ch, ch),
         "temb_proj": cm.linear_init(ks[1], temb_ch, ch),

@@ -71,7 +71,7 @@ def encoder_plan(cfg: EncoderUNetConfig) -> Dict[str, Any]:
 
 def encoder_init(key, cfg: EncoderUNetConfig) -> Dict[str, Any]:
     plan = encoder_plan(cfg)
-    keys = iter(jax.random.split(key, 4096))
+    keys = iter(cm.rsplit(key, 4096))
     nxt = lambda: next(keys)
     params: Dict[str, Any] = {
         "time_embed": {
@@ -101,7 +101,7 @@ def encoder_init(key, cfg: EncoderUNetConfig) -> Dict[str, Any]:
             "pool": {
                 # stored [T+1, C] (torch keeps [C, T+1], unet.py:76-78)
                 "positional_embedding": (
-                    jax.random.normal(nxt(), (t + 1, ch)) / ch ** 0.5
+                    cm.rnormal(nxt(), (t + 1, ch)) / ch ** 0.5
                 ),
                 "qkv": cm.linear_init(nxt(), ch, 3 * ch),
                 "c_proj": cm.linear_init(nxt(), ch, cfg.out_channels),

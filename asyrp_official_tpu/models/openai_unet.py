@@ -160,7 +160,7 @@ def build_plan(cfg: OpenAIUNetConfig) -> Dict[str, Any]:
 
 
 def _res_init(key, spec, cfg):
-    ks = jax.random.split(key, 4)
+    ks = cm.rsplit(key, 4)
     cin, cout = spec["cin"], spec["cout"]
     emb_out = 2 * cout if cfg.use_scale_shift_norm else cout
     p = {
@@ -176,7 +176,7 @@ def _res_init(key, spec, cfg):
 
 
 def _attn_init(key, spec):
-    ks = jax.random.split(key, 2)
+    ks = cm.rsplit(key, 2)
     ch = spec["ch"]
     return {
         "norm": cm.norm_init(ch),
@@ -197,7 +197,7 @@ def _layer_init(key, spec, cfg):
 
 def init(key, cfg: OpenAIUNetConfig) -> Dict[str, Any]:
     plan = build_plan(cfg)
-    keys = iter(jax.random.split(key, 4096))
+    keys = iter(cm.rsplit(key, 4096))
     nxt = lambda: next(keys)
     params: Dict[str, Any] = {
         "time_embed": {
@@ -207,7 +207,7 @@ def init(key, cfg: OpenAIUNetConfig) -> Dict[str, Any]:
     }
     if cfg.num_classes is not None:
         params["label_emb"] = {
-            "w": jax.random.normal(nxt(), (cfg.num_classes, cfg.temb_ch)) * 0.02
+            "w": cm.rnormal(nxt(), (cfg.num_classes, cfg.temb_ch)) * 0.02
         }
     for stem in ("input", "middle", "output"):
         if stem == "middle":

@@ -40,7 +40,7 @@ from asyrp_official_tpu.parallel import mesh as pmesh
 from asyrp_official_tpu.pipelines import engine, precompute as pc
 from asyrp_official_tpu.pipelines import train as tr
 from asyrp_official_tpu.pipelines.interval import select_interval
-from asyrp_official_tpu.utils import assets
+from asyrp_official_tpu.utils import assets, hostrng
 
 log = logging.getLogger(__name__)
 
@@ -330,7 +330,7 @@ class AsyrpRunner:
                 PRETRAINED_URLS.get(_route_key(self.config)),
             )
             with jax.default_device(jax.local_devices(backend="cpu")[0]):
-                params = self.spec.init(jax.random.PRNGKey(self.args.seed))
+                params = self.spec.init(hostrng.PRNGKey(self.args.seed))
         else:
             url = PRETRAINED_URLS.get(_route_key(self.config))
             hint = (
@@ -517,7 +517,7 @@ class AsyrpRunner:
             if train_target == "blocks":
                 blocks = tuple(
                     delta_block_init(
-                        jax.random.PRNGKey(a.seed + i),
+                        hostrng.PRNGKey(a.seed + i),
                         self.spec.bottleneck_ch, self.spec.temb_ch,
                         flavor=self.spec.delta_flavor,
                     )

@@ -107,6 +107,7 @@ def main():
     from asyrp_official_tpu.models.registry import resolve
     from asyrp_official_tpu.parallel.packing import PackedSpec
     from asyrp_official_tpu.pipelines import engine
+    from asyrp_official_tpu.utils import hostrng
 
     def force(arr):
         # block_until_ready is unreliable through the axon relay — a
@@ -143,12 +144,11 @@ def main():
 
     # ---- flagship model setup -------------------------------------------
     raw_spec = resolve("CelebA_HQ")
-    # init on the CPU backend: param init is hundreds of tiny random kernels,
-    # which are pathologically slow through the axon remote-compile tunnel
+    # host-numpy init (utils/hostrng, bit-identical to jax.random): avoids
+    # the thousands of one-off XLA compiles that made this 25-68 s
+    # (VERDICT r4 weak #4 — was 67.9 s in BENCH_r04's tail)
     t0 = time.perf_counter()
-    with jax.default_device(jax.devices("cpu")[0]):
-        params_host = raw_spec.init(jax.random.PRNGKey(0))
-        params_host = jax.block_until_ready(params_host)
+    params_host = raw_spec.init(hostrng.PRNGKey(0))
     n_params = sum(x.size for x in jax.tree.leaves(params_host))
     # pack the 450 param leaves into ONE device buffer: per-buffer dispatch
     # marshalling otherwise dominates (measured 2630 ms → 12.8 ms per call)
@@ -210,11 +210,11 @@ def main():
     try:
         sched = make_schedule()
         seq = uniform_seq(40, 999)
-        with jax.default_device(jax.devices("cpu")[0]):
-            block = delta_block_init(
-                jax.random.PRNGKey(1), spec.bottleneck_ch, spec.temb_ch
-            )
-        block = jax.device_put(block, dev)
+        block = jax.device_put(
+            delta_block_init(
+                hostrng.PRNGKey(1), spec.bottleneck_ch, spec.temb_ch
+            ), dev,
+        )
         # the WHOLE EditState must be committed — an uncommitted hs_coeff
         # leaf takes the slow relay dispatch path on every timed call
         edit = jax.device_put(
@@ -362,10 +362,9 @@ def main():
             seq_tr, _ = train_seq(40, 999, 516)
             n_edit = len(seq_tr)
             opt = tr.make_optimizer(0.5)
-            with jax.default_device(jax.devices("cpu")[0]):
-                tblock = delta_block_init(
-                    jax.random.PRNGKey(2), tspec.bottleneck_ch, tspec.temb_ch
-                )
+            tblock = delta_block_init(
+                hostrng.PRNGKey(2), tspec.bottleneck_ch, tspec.temb_ch
+            )
             tedit = jax.device_put(
                 EditState(blocks=(tblock,), hs_coeff=jnp.array([1.0, 1.0])), dev
             )
@@ -442,7 +441,11 @@ def main():
             extras["train_origin_fill_ms"] = round(fill_ms, 1)
             # steady-state fill: what every batch AFTER the first pays for
             # its origin trajectory (the first-fill number above is
-            # compile-dominated and would misread as the per-batch cost)
+            # compile-dominated and would misread as the per-batch cost).
+            # Warm the force() reduction for the origin-stack shape first:
+            # its one-off compile otherwise lands INSIDE the timed region
+            # and misread 156 ms as 10,498 ms in BENCH_r04 (VERDICT r5 #1).
+            force(org)
             t0 = time.perf_counter()
             org = tstep_c.compute_origins(params, x_lat_t)
             force(org)  # [n_steps, B, H, W, C] stack; host fetch barrier
@@ -467,10 +470,9 @@ def main():
                 jnp.asarray(np.random.RandomState(8).randn(bs8, 256, 256, 3),
                             jnp.float32), dev,
             )
-            with jax.default_device(jax.devices("cpu")[0]):
-                tblock8 = delta_block_init(
-                    jax.random.PRNGKey(3), tspec.bottleneck_ch, tspec.temb_ch
-                )
+            tblock8 = delta_block_init(
+                hostrng.PRNGKey(3), tspec.bottleneck_ch, tspec.temb_ch
+            )
             tedit8 = jax.device_put(
                 EditState(blocks=(tblock8,), hs_coeff=jnp.array([1.0, 1.0])),
                 dev,
