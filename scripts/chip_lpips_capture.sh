@@ -9,12 +9,15 @@
 # curves need the real weights (ROUND3.md). Logs ms/image and writes the
 # 4 reference-format tsvs.
 #
-# Usage: bash scripts/chip_lpips_capture.sh [workdir] [n_img]
+# Usage: bash scripts/chip_lpips_capture.sh [workdir] [n_img] [bs]
 # (ONE TPU process at a time — stop any bench/probe first, CLAUDE.md)
+# bs defaults to 8: this chip's conv efficiency at bs 8 is ~1.7x bs 1
+# (BASELINE.md round 2); the r3 capture ran bs 1 (VERDICT r5 item 3).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 WS="${1:-/tmp/lpipsws}"
 N_IMG="${2:-4}"
+BS="${3:-8}"
 
 python - "$WS" <<'PY'
 import os, shutil, sys
@@ -54,6 +57,6 @@ exec python main.py \
   --work_dir "$WS/w" \
   --lpips --lpips_ckpt "$WS/lpips_rand.npz" \
   --n_inv_step 1000 --t_0 999 \
-  --n_train_img "$N_IMG" --bs_train 1 \
+  --n_train_img "$N_IMG" --bs_train "$BS" \
   --custom_dataset_name celeba_chipcapture \
   --seed 0 --ni --allow_random_weights --bf16
