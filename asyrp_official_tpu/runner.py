@@ -1208,6 +1208,7 @@ class AsyrpRunner:
 
         harvest_sum: Optional[np.ndarray] = None
         n_done = 0
+        grid_ms: List[float] = []
         for mode, n_img in splits:
             pairs = self.get_pairs(params, mode)
             for ofs in range(0, min(n_img, pairs["x_lat"].shape[0]), a.bs_train):
@@ -1220,6 +1221,7 @@ class AsyrpRunner:
                 if xb.shape[0] != a.bs_train:
                     break
                 harvesting = bool(mean_dh_pending) and mode == "train"
+                t_grid = time.perf_counter()
                 h = self.save_grid(
                     params, edit, xb, seq_test,
                     # the reference names grids by the LAST image's loader
@@ -1230,6 +1232,7 @@ class AsyrpRunner:
                     folder=folder, hs_coeff_list=hs_coeff_list, x0=x0b,
                     collect_delta=harvesting,
                 )
+                grid_ms.append((time.perf_counter() - t_grid) * 1e3)
                 if harvesting and h is not None:
                     s = h.sum(axis=1)  # [S, h, w, C] summed over batch
                     harvest_sum = s if harvest_sum is None else harvest_sum + s
@@ -1272,6 +1275,21 @@ class AsyrpRunner:
                         edit = self._replicate(
                             self._edit_from_rows(rows, hs_coeff, seq_test)
                         )
+        if len(grid_ms) > 1:
+            # serving record: the first grid carries the chain compile; the
+            # steady-state p50 over the rest is the honest per-batch cost
+            # (save_grid ends in a host fetch — a real barrier through the
+            # relay, unlike block_until_ready; CLAUDE.md)
+            steady = sorted(grid_ms[1:])
+            p50 = steady[len(steady) // 2]
+            n_chain = len(seq_test)
+            log.info(
+                "serving: %d grids, first (incl. compile) %.0f ms; steady "
+                "p50 %.0f ms/batch = %.0f ms/image = %.1f ms/gen-step "
+                "(%d-step chain, bs %d)",
+                len(grid_ms), grid_ms[0], p50, p50 / a.bs_train,
+                p50 / a.bs_train / n_chain, n_chain, a.bs_train,
+            )
         return edit
 
     # ------------------------------------------------------------------

@@ -16,10 +16,10 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 WS="${1:-/tmp/lpipsws}"
-N_IMG="${2:-4}"
+N_IMG="${2:-24}"
 BS="${3:-8}"
 
-python - "$WS" <<'PY'
+python - "$WS" "$N_IMG" <<'PY'
 import os, shutil, sys
 import numpy as np, yaml
 from PIL import Image
@@ -29,7 +29,9 @@ shutil.rmtree(ws, ignore_errors=True)
 imgs = os.path.join(ws, "imgs")
 os.makedirs(imgs)
 rng = np.random.RandomState(0)
-for i in range(8):
+# enough sources for >=3 full batches at the default bs 8 (first batch
+# carries the chain compile; steady state needs at least two more)
+for i in range(max(8, int(sys.argv[2]))):
     Image.fromarray((rng.rand(256, 256, 3) * 255).astype(np.uint8)).save(
         os.path.join(imgs, f"{i}.png"))
 cfg = yaml.safe_load(open("asyrp_official_tpu/configs/celeba.yml"))
