@@ -18,7 +18,7 @@ WS="${1:-/tmp/serve1000ws}"
 N_IMG="${2:-4}"
 BS="${3:-1}"
 
-python - "$WS" <<'PY'
+python - "$WS" "$N_IMG" <<'PY'
 import os, shutil, sys
 import numpy as np, yaml
 from PIL import Image
@@ -28,7 +28,9 @@ shutil.rmtree(ws, ignore_errors=True)
 imgs = os.path.join(ws, "imgs")
 os.makedirs(imgs)
 rng = np.random.RandomState(0)
-for i in range(8):
+# enough sources for the requested batch count (bs-8 throughput capture
+# needs >= 3 full batches; run_test drops partial batches)
+for i in range(max(8, int(sys.argv[2]))):
     Image.fromarray((rng.rand(256, 256, 3) * 255).astype(np.uint8)).save(
         os.path.join(imgs, f"{i}.png"))
 cfg = yaml.safe_load(open("asyrp_official_tpu/configs/celeba.yml"))

@@ -103,6 +103,16 @@ def test_repo_script_flags_parse(name):
         assert args.lpips and args.lpips_ckpt and args.allow_random_weights
         assert args.n_inv_step == 1000 and args.bf16
         return
+    if name == "chip_serve_1000step.sh":
+        # best-quality serving-point capture (VERDICT r5 item 2): the
+        # reference README's n_test_step=1000 setting, random weights +
+        # synthesized Δ ckpt (timing is weight-independent)
+        assert args.run_test and args.allow_random_weights and args.bf16
+        assert args.n_test_step == 1000 and args.n_inv_step == 40
+        assert args.manual_checkpoint_name and args.train_delta_block
+        assert args.user_defined_t_edit == 516
+        assert args.user_defined_t_addnoise == 200
+        return
     if name == "chip_train_bs_scaling.sh":
         # bs>1 training-scaling capture (VERDICT r3 item 5): the stub
         # captures all four bs runs' argv concatenated; last-wins parse
