@@ -77,7 +77,8 @@ def test_cli_diff_style(ws):
 
 def test_cli_train_with_process_dumps_and_target_id(ws):
     rc = cli_main(
-        _common(ws, ["--run_train", "--train_delta_block", "--do_test", "1",
+        _common(ws, ["--run_train", "--train_delta_block", "--get_h_num", "1",
+                     "--do_test", "1",
                      "--save_x_origin", "--save_process_origin",
                      "--save_process_delta_h", "--target_image_id", "0"])
     )

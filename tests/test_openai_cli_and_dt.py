@@ -57,7 +57,8 @@ def test_cli_openai_family_train_test(ws):
         "--n_train_img", "2", "--n_test_img", "2", "--bs_train", "1",
         "--user_defined_t_edit", "500", "--user_defined_t_addnoise", "100",
         "--lr_training", "0.01", "--n_iter", "1", "--clip_loss_w", "0", "--ni", "--allow_random_weights",
-        "--run_train", "--train_delta_block", "--do_test", "1", "--save_x_origin",
+        "--run_train", "--train_delta_block", "--get_h_num", "1",
+        "--do_test", "1", "--save_x_origin",
     ]
     rc = cli_main(args)
     assert rc == 0
