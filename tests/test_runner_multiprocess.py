@@ -30,7 +30,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 TRAIN_ARGS = ["--run_train", "--train_delta_block", "--do_test", "0", "--dp", "-1"]
 SERVE_ARGS = ["--run_test", "--train_delta_block", "--num_mean_of_delta_hs", "2",
-              "--do_test", "0", "--dp", "-1"]
+              "--do_test", "0", "--dp", "-1",
+              # 8 train images (last-wins over the template's n_img 4): two
+              # bs-4 batches, so the harvest completes on the FIRST — since
+              # the round-4 quirk preservation (runner.py:1240-1254) a
+              # harvest finishing on the last train image saves nothing,
+              # like the reference (bs must stay 4: bs_train %% dp == 0)
+              "--n_train_img", "8"]
 
 WORKER = r"""
 import os, shutil, sys
@@ -200,7 +206,8 @@ def test_runner_serving_two_processes_matches_single(tmp_path):
     serving from a bitwise-shared Δ checkpoint."""
     ws = tmp_path / "ws"
     ws.mkdir()
-    write_tiny_workspace(str(ws))
+    # 8 images: SERVE_ARGS harvests over two bs-4 batches (see comment there)
+    write_tiny_workspace(str(ws), n_images=8)
 
     sp_work = str(ws / "sp")
 
