@@ -509,6 +509,10 @@ def main():
         "value": round(best, 3),
         "unit": f"evals/s (bf16, bsz={best_bsz})",
         "vs_baseline": round(best / REFERENCE_TORCH_CPU_EVALS_PER_SEC, 2),
+        # the reference publishes no hardware numbers; its torch forward on
+        # THIS host's CPU is the only baseline runnable here (BASELINE.md)
+        "baseline": "reference torch-CPU fwd on this host "
+                    f"({REFERENCE_TORCH_CPU_EVALS_PER_SEC} evals/s)",
     }
     if p50_ms is not None:
         result["p50_invert_edit_ms"] = round(p50_ms, 1)
