@@ -113,6 +113,27 @@ def _dataset_key(config) -> str:
     }.get(_route_key(config), "celeba")
 
 
+def serving_batch_advisory(bs_train: int, n_steps: int) -> Optional[str]:
+    """Advisory for batching-hostile serving shapes (BASELINE.md round 5).
+
+    The 256² serving chain is near MXU-saturation at batch 1, so long
+    edited-generation chains gain nothing per image from batching (bs 4
+    measured 1.44x WORSE per image at n_test_step=1000), and the
+    1000-step x bs-8 dual-decode program crashed the relay-side TPU
+    worker outright. Returns a warning string for bs_train > 1 on chains
+    of >= 500 steps, None otherwise. Warning only — other hardware may
+    behave differently; the math is unaffected either way."""
+    if bs_train > 1 and n_steps >= 500:
+        return (
+            f"serving a {n_steps}-step chain at bs_train={bs_train}: "
+            "batch 1 is measured-optimal for long chains on TPU (bs 4 ran "
+            "1.44x worse per image at 1000 steps, and bs 8 exceeded the "
+            "relay worker's limits — BASELINE.md round 5); consider "
+            "--bs_train 1"
+        )
+    return None
+
+
 def _route_key(config) -> str:
     d = config["data"]
     if d["dataset"] == "LSUN":
@@ -1075,6 +1096,9 @@ class AsyrpRunner:
             # the full grid, mirroring seq_train's 'No skip' (:564-566)
         )
         seq_test_edit = [t for t in seq_test if t >= self.t_edit]
+        advisory = serving_batch_advisory(a.bs_train, len(seq_test))
+        if advisory:
+            log.warning(advisory)
         params = self.load_pretrained()
 
         # 'no skip' (0) falls back to the t_0-length grid actually built

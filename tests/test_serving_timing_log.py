@@ -72,3 +72,18 @@ def test_multi_grid_serve_logs_consistent_timing(tmp_path, caplog):
 
 def test_single_grid_serve_logs_nothing(tmp_path, caplog):
     assert _serve(tmp_path, caplog, "single", 1) == []
+
+
+def test_serving_batch_advisory_bounds():
+    """Long-chain batching advisory (BASELINE.md round 5): fires only for
+    bs_train > 1 on chains >= 500 steps — the measured batching-hostile
+    regime (bs 4 ran 1.44x worse/image at 1000 steps; bs 8 crashed the
+    relay worker). Warning-only: run_test proceeds regardless."""
+    from asyrp_official_tpu.runner import serving_batch_advisory
+
+    assert serving_batch_advisory(1, 1000) is None       # batch 1: optimal
+    assert serving_batch_advisory(8, 40) is None         # short chain: fine
+    assert serving_batch_advisory(2, 499) is None        # below threshold
+    for bs, n in ((2, 500), (4, 1000), (8, 1000)):
+        msg = serving_batch_advisory(bs, n)
+        assert msg and "--bs_train 1" in msg, (bs, n, msg)
