@@ -70,7 +70,13 @@ def args_from_preset(preset: Dict[str, Any], extra=None):
     known = {a.dest for a in parser._actions}
     argv = []
     for k, v in preset.items():
-        if k in known:
+        # align_face is INERT in the reference (parsed, never dispatched) but
+        # ACTIVE here (cli/main.py:402 runs dlib FFHQ alignment) — routing
+        # the preset's 1 through the live flag would rewrite the dataset
+        # dirs, something no reference run of this preset ever did. Keep the
+        # parser default (0 = the reference's effective behavior); opt in
+        # explicitly via `extra=["--align_face", "1"]` if alignment is wanted.
+        if k in known and k != "align_face":
             argv += [f"--{k}", str(v)]
     argv += list(extra or [])
     args = parser.parse_args(argv)

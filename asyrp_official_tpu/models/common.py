@@ -56,10 +56,16 @@ def runiform(key, shape, minval=0.0, maxval=1.0):
 def rnormal(key, shape):
     """Normal draws stay on jax.random (XLA's f32 erf_inv polynomial is not
     worth replicating for the two rare label_emb/attention-pool leaves) — a
-    numpy key is valid raw threefry key material, so just hand it over."""
+    numpy key is valid raw threefry key material, so just hand it over.
+
+    Pinned to the CPU backend: init call sites no longer wrap themselves in
+    jax.default_device (the hostrng paths made that redundant), so without
+    the pin these few draws would remote-compile through the TPU relay on a
+    chip session — the exact 25-68 s pathology hostrng exists to remove."""
     if isinstance(key, np.ndarray):
-        key = jnp.asarray(key)
-    return jax.random.normal(key, shape)
+        key = np.asarray(key)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        return jax.random.normal(jnp.asarray(key), shape)
 
 
 def _kaiming_uniform(key, shape, fan_in, a=math.sqrt(5)):

@@ -58,20 +58,36 @@ def _get_lib():
             os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
         )
         if not os.path.exists(_SO_PATH) or stale:
+            # compile to a per-process temp path, then os.rename: atomic on
+            # POSIX, so concurrent first-use across processes (multiprocess
+            # tests, the multihost dryrun leg) can never interleave linker
+            # writes into the shared .so another process is dlopen-ing
+            tmp_so = f"{_SO_PATH}.{os.getpid()}.tmp"
             cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                   "-std=c++17", src, "-pthread", "-o", _SO_PATH]
+                   "-std=c++17", src, "-pthread", "-o", tmp_so]
             try:
                 subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+                os.replace(tmp_so, _SO_PATH)
             except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
-                    FileNotFoundError) as e:
+                    FileNotFoundError, OSError) as e:
                 log.warning("native threefry build failed (%s); numpy fallback", e)
                 _BUILD_FAILED = True
+                try:
+                    os.unlink(tmp_so)
+                except OSError:
+                    pass
                 return None
         try:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError as e:
             log.warning("native threefry load failed: %s", e)
             _BUILD_FAILED = True
+            # a corrupt artifact would otherwise pass the staleness check
+            # forever and pin every future run to this failure path
+            try:
+                os.unlink(_SO_PATH)
+            except OSError:
+                pass
             return None
         lib.asyrp_threefry_bits.restype = ctypes.c_int
         lib.asyrp_threefry_bits.argtypes = [

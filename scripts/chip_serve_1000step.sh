@@ -15,8 +15,15 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 WS="${1:-/tmp/serve1000ws}"
-N_IMG="${2:-4}"
 BS="${3:-1}"
+N_IMG="${2:-$((4 * BS))}"
+# run_test drops partial batches and the steady-state timing line needs at
+# least 2 full batches after the compile one — refuse a no-measurement run
+if (( N_IMG < 3 * BS )); then
+  echo "N_IMG=$N_IMG < 3*BS=$((3 * BS)): zero steady-state samples would be" \
+       "captured (run_test drops partial batches). Raise N_IMG." >&2
+  exit 2
+fi
 
 python - "$WS" "$N_IMG" <<'PY'
 import os, shutil, sys

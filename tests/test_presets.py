@@ -41,3 +41,10 @@ def test_preset_drives_cli_parser():
     assert args.sample_type == "ddim"
     # vestigial-only keys carried over
     assert args.run_each_layer_clip is True or args.run_each_layer_clip == 1
+    # align_face must NOT route through the live flag: inert in the
+    # reference (parsed, never dispatched), active here — the preset keeps
+    # the reference's EFFECTIVE behavior (no alignment) unless opted in
+    assert args.align_face == 0
+    opted = args_from_preset(get_celeba_configs(),
+                             extra=["--align_face", "1"])
+    assert opted.align_face == 1
